@@ -1,0 +1,70 @@
+"""Global configuration and named parameter presets.
+
+The reference configures everything at compile time (src/config.h,
+constants in src/hectr.h:39-41, CKKS parameters hardcoded at
+src/ctr.c:514-517, plant constants at src/cstr.c:26-38).  Here the same
+knobs are runtime dataclasses with the reference values as named
+presets, plus a real CLI (hectr_tpu.cli) that actually parses the
+--logn/--logq style flags the reference only advertised
+(tests/hectr.c:936-938 parses nothing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+# float64 is required for the control stack: DARE convergence to 1e-10
+# and the closed-loop parity bar of ~1e-10 vs the reference trajectories
+# (reference uses C doubles throughout).  On TPU f64 is emulated (slow)
+# but the control math is tiny; the CKKS compute path is uint32 and
+# unaffected.
+jax.config.update("jax_enable_x64", True)
+
+# Algorithm constants (reference: src/hectr.h:39-41).
+TOLERANCE = 1e-10   # DARE / QP convergence tolerance  (HECTR_TOLERANCE)
+SMALL = 1e-5        # noise weights, imag-residue canary (HECTR_SMALL)
+ITER_MAX = 10000    # DARE / QP iteration cap           (HECTR_ITER_MAX)
+
+# Single-precision epsilon: the reference's active-set QP uses
+# FLT_EPSILON for feasibility / working-set thresholds (src/quadprog.c).
+FLT_EPSILON = 1.1920928955078125e-07
+
+
+@dataclasses.dataclass(frozen=True)
+class CKKSPreset:
+    """Named CKKS parameter preset (see ckks.params.CKKSParams for the
+    full derived context)."""
+
+    name: str
+    logn: int               # ring degree N = 2**logn
+    slots: int              # packed complex slots (<= N/2)
+    scale_bits: int         # log2(Delta)
+    limb_bits: int          # target RNS prime size (< 31 for uint32 path)
+    mult_depth: int         # supported ct levels (in *rescale groups*)
+    special_limbs: int = 1  # key-switch special primes
+
+
+# The reference encrypted-MPC parameters: logn=12, q=2^109, Delta=2^50,
+# slots=16 (src/ctr.c:511-518).  Our RNS equivalent uses a chain of
+# ~25-bit primes with composite (two-prime) rescaling so Delta=2^50
+# survives the 32-bit arithmetic path.
+REFERENCE_HEMPC = CKKSPreset(
+    name="reference-hempc", logn=12, slots=16, scale_bits=50,
+    limb_bits=25, mult_depth=1,
+)
+
+# BASELINE.json config #3: enc/dec + ct-ct mult/rescale at logN=14, L=10.
+MEDIUM = CKKSPreset(
+    name="medium", logn=14, slots=64, scale_bits=50,
+    limb_bits=25, mult_depth=5,
+)
+
+# BASELINE.json flagship: encrypted MPC at logN=15, L=20.
+FLAGSHIP = CKKSPreset(
+    name="flagship", logn=15, slots=16, scale_bits=50,
+    limb_bits=25, mult_depth=10,
+)
+
+PRESETS = {p.name: p for p in (REFERENCE_HEMPC, MEDIUM, FLAGSHIP)}
