@@ -1,0 +1,121 @@
+"""Vectorized modular arithmetic over RNS limb arrays (jittable).
+
+Replaces GPQHE's libgcrypt big-integer coefficient arithmetic
+(`poly_mpi_t`, MPI helpers at src/ctr.c:515-516) with residue
+arithmetic: arrays are uint32 with one modulus per leading-axis limb,
+moduli < 2^30 so a*b < 2^60 fits uint64.
+
+Reduction strategy (designed for TPU):
+  * Barrett with per-limb (mu, shift): q = ((ab >> (k-2)) * mu) >> (k+2)
+    with mu = floor(4^k / p), k = bitlen(p).  All intermediates < 2^63;
+    at most 2 correction subtractions (proved < 3p; tested
+    exhaustively against Python ints).
+  * Shoup multiplication for *precomputed* constants (NTT twiddles,
+    key-switch hooks): r = w*a - floor(a*w'/2^32)*p with
+    w' = floor(w*2^32/p) -- one fewer wide multiply on the hot path.
+
+uint64 on TPU is emulated with 32-bit pairs by XLA; this module is the
+portable-correct path.  The Pallas kernels in hectr_tpu.ops implement
+the same contracts in pure 32-bit arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+U64 = jnp.uint64
+
+
+def barrett_constants(primes: list[int]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-limb (p, mu, k) arrays shaped [L, 1] for broadcasting over
+    [L, N] residue arrays.  mu = floor(4^k / p), k = bitlen(p)."""
+    ps, mus, ks = [], [], []
+    for p in primes:
+        assert 2 < p < (1 << 30), f"modulus {p} out of supported range"
+        k = p.bit_length()
+        ps.append(p)
+        mus.append((1 << (2 * k)) // p)
+        ks.append(k)
+    shape = (len(primes), 1)
+    return (np.array(ps, dtype=np.uint64).reshape(shape),
+            np.array(mus, dtype=np.uint64).reshape(shape),
+            np.array(ks, dtype=np.uint64).reshape(shape))
+
+
+def shoup(w: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Precompute Shoup companions w' = floor(w * 2^32 / p) (exact,
+    host-side object ints to avoid overflow)."""
+    w_obj = w.astype(object)
+    p_obj = p.astype(object)
+    return ((w_obj << 32) // p_obj).astype(np.uint64)
+
+
+def add_mod(a, b, p):
+    """(a + b) mod p elementwise; a, b already reduced."""
+    s = a.astype(U64) + b.astype(U64)
+    return jnp.where(s >= p, s - p, s).astype(U32)
+
+
+def sub_mod(a, b, p):
+    """(a - b) mod p elementwise; a, b already reduced."""
+    d = a.astype(U64) + p - b.astype(U64)
+    return jnp.where(d >= p, d - p, d).astype(U32)
+
+
+def neg_mod(a, p):
+    """(-a) mod p elementwise."""
+    return jnp.where(a == 0, jnp.zeros_like(a),
+                     (p - a.astype(U64)).astype(U64)).astype(U32)
+
+
+def _barrett(prod, p, mu, k):
+    """Reduce prod < 2^60 mod p (< 2^30) via Barrett; see module doc."""
+    q = ((prod >> (k - 2)) * mu) >> (k + 2)
+    r = prod - q * p
+    r = jnp.where(r >= p, r - p, r)
+    r = jnp.where(r >= p, r - p, r)
+    return r
+
+
+def mul_mod(a, b, p, mu, k):
+    """(a * b) mod p elementwise via Barrett."""
+    prod = a.astype(U64) * b.astype(U64)
+    return _barrett(prod, p, mu, k).astype(U32)
+
+
+def mul_mod_shoup(a, w, w_shoup, p):
+    """(a * w) mod p with precomputed w' = floor(w*2^32/p).
+
+    r = w*a - floor(a*w'/2^32)*p, then one conditional subtract.
+    Requires w < p < 2^30 and a < p.
+    """
+    a64 = a.astype(U64)
+    q = (a64 * w_shoup) >> jnp.uint64(32)
+    r = a64 * w - q * p
+    return jnp.where(r >= p, r - p, r).astype(U32)
+
+
+def to_rns(coeffs_obj: np.ndarray, primes: list[int]) -> np.ndarray:
+    """Host: exact signed big-int coefficients -> uint32[L, N] residues."""
+    out = np.empty((len(primes), coeffs_obj.shape[0]), dtype=np.uint32)
+    c = coeffs_obj.astype(object)
+    for i, p in enumerate(primes):
+        out[i] = (c % p).astype(np.uint32)
+    return out
+
+
+def from_rns(res: np.ndarray, primes: list[int]) -> np.ndarray:
+    """Host: uint32[L, N] residues -> exact centered big-int coefficients
+    (object array), via CRT.  Test/oracle path, not jitted."""
+    L, N = res.shape
+    q = 1
+    for p in primes:
+        q *= p
+    acc = np.zeros(N, dtype=object)
+    for i, p in enumerate(primes):
+        qi = q // p
+        inv = pow(qi % p, -1, p)
+        acc = (acc + res[i].astype(object) * inv % p * qi) % q
+    return np.where(acc > q // 2, acc - q, acc)
