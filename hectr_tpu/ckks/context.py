@@ -37,8 +37,8 @@ from hectr_tpu.ckks.primes import find_ntt_primes, find_scale_prime_pairs
 class DecodeConstants:
     """Per-limb fractional-CRT constants for a K-limb chain prefix."""
 
-    inv: jnp.ndarray      # [K, 1] uint64: (Q/p_i)^-1 mod p_i
-    p_f64: jnp.ndarray    # [K, 1] float64: p_i
+    inv: np.ndarray       # [K, 1] uint64: (Q/p_i)^-1 mod p_i
+    p_f64: np.ndarray     # [K, 1] float64: p_i
     q_over_scale_hi: float
     q_over_scale_lo: float
 
@@ -112,9 +112,10 @@ class CKKSContext:
         return build_ntt_tables(self.n, self.data_primes[:k] + self.special_primes)
 
     @functools.cache
-    def primes_col(self, k: int) -> jnp.ndarray:
-        return jnp.asarray(
-            np.array(self.data_primes[:k], dtype=np.uint64).reshape(k, 1))
+    def primes_col(self, k: int) -> np.ndarray:
+        # numpy, not device arrays: cached values may be created inside
+        # a trace (see hectr_tpu/ckks/ntt.py build_ntt_tables note)
+        return np.array(self.data_primes[:k], dtype=np.uint64).reshape(k, 1)
 
     @functools.cache
     def decode_constants(self, k: int, scale: Fraction) -> DecodeConstants:
@@ -126,14 +127,14 @@ class CKKSContext:
         hi = float(ratio)
         lo = float(ratio - Fraction(hi))
         return DecodeConstants(
-            inv=jnp.asarray(inv),
-            p_f64=jnp.asarray(np.array(primes, dtype=np.float64).reshape(k, 1)),
+            inv=inv,
+            p_f64=np.array(primes, dtype=np.float64).reshape(k, 1),
             q_over_scale_hi=hi,
             q_over_scale_lo=lo,
         )
 
     @functools.cache
-    def rescale_constants(self, k: int) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    def rescale_constants(self, k: int) -> tuple[np.ndarray, np.ndarray, int]:
         """For dropping limb d=k-1: ([d,1] u64 inv of p_d mod p_j,
         its Shoup companion, p_d)."""
         from hectr_tpu.ckks.modmath import shoup
@@ -143,7 +144,7 @@ class CKKSContext:
         inv = np.array([pow(p_d % p, -1, p) for p in self.data_primes[:d]],
                        dtype=np.uint64).reshape(d, 1)
         pj = np.array(self.data_primes[:d], dtype=np.uint64).reshape(d, 1)
-        return jnp.asarray(inv), jnp.asarray(shoup(inv, pj)), p_d
+        return inv, shoup(inv, pj), p_d
 
 
 @functools.lru_cache(maxsize=None)

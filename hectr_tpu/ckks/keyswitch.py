@@ -59,24 +59,14 @@ from hectr_tpu.ckks.scheme import (
 def _eval_exponents(n: int) -> np.ndarray:
     """exponent e_i such that NTT output index i holds m(psi^{e_i}).
 
-    Derived empirically from the transform itself: NTT(X) = psi^{e_i},
-    inverted through a discrete log over the (small) 2N-element cyclic
-    group of a probe prime.
+    For the Longa-Naehrig CT forward transform the evaluation points
+    come out as e_i = 2*bitreverse(i) + 1 (validated against the
+    transform itself via discrete log on a probe prime).  Host-only
+    numpy so it is safe to first-call from inside a trace.
     """
-    from hectr_tpu.ckks.primes import find_ntt_primes, root_of_unity
+    from hectr_tpu.ckks.ntt import bit_reverse_indices
 
-    p = find_ntt_primes(30, 1, 2 * n)[0]
-    t = build_ntt_tables(n, (p,))
-    x = np.zeros((1, n), dtype=np.uint32)
-    x[0, 1] = 1  # the polynomial X
-    vals = np.asarray(ntt(jnp.asarray(x), t))[0]
-    psi = root_of_unity(p, 2 * n)
-    dlog = {}
-    acc = 1
-    for e in range(2 * n):
-        dlog[acc] = e
-        acc = acc * psi % p
-    return np.array([dlog[int(v)] for v in vals], dtype=np.int64)
+    return (2 * bit_reverse_indices(n) + 1) % (2 * n)
 
 
 @functools.lru_cache(maxsize=None)
@@ -191,8 +181,9 @@ def _ks_constants(ctx: CKKSContext, k: int):
     pj = np.array(ctx.data_primes[:k], dtype=np.uint64).reshape(k, 1)
     chain = np.array(ctx.data_primes[:k] + ctx.special_primes,
                      dtype=np.uint64).reshape(k + ns, 1)
-    return (jnp.asarray(pinv), jnp.asarray(shoup(pinv, pj)),
-            jnp.asarray(chain))
+    # numpy, not device arrays: this cache may first fill inside a
+    # trace (see hectr_tpu/ckks/ntt.py build_ntt_tables note)
+    return pinv, shoup(pinv, pj), chain
 
 
 def decompose_digits(ctx: CKKSContext, c1: jnp.ndarray) -> jnp.ndarray:

@@ -53,15 +53,15 @@ class NTTTables:
 
     n: int
     primes: tuple[int, ...]
-    p: jnp.ndarray          # [L, 1] uint64
-    mu: jnp.ndarray         # [L, 1] uint64  Barrett mu
-    k: jnp.ndarray          # [L, 1] uint64  Barrett shift base
-    psi_rev: jnp.ndarray        # [L, N] uint32   psi^brv(i)
-    psi_rev_shoup: jnp.ndarray  # [L, N] uint64
-    psi_inv_rev: jnp.ndarray    # [L, N] uint32   psi^-brv(i)
-    psi_inv_rev_shoup: jnp.ndarray
-    n_inv: jnp.ndarray          # [L, 1] uint32   N^-1 mod p
-    n_inv_shoup: jnp.ndarray    # [L, 1] uint64
+    p: np.ndarray          # [L, 1] uint64
+    mu: np.ndarray         # [L, 1] uint64  Barrett mu
+    k: np.ndarray          # [L, 1] uint64  Barrett shift base
+    psi_rev: np.ndarray        # [L, N] uint32   psi^brv(i)
+    psi_rev_shoup: np.ndarray  # [L, N] uint64
+    psi_inv_rev: np.ndarray    # [L, N] uint32   psi^-brv(i)
+    psi_inv_rev_shoup: np.ndarray
+    n_inv: np.ndarray          # [L, 1] uint32   N^-1 mod p
+    n_inv_shoup: np.ndarray    # [L, 1] uint64
 
 
 @functools.lru_cache(maxsize=None)
@@ -91,16 +91,21 @@ def build_ntt_tables(n: int, primes: tuple[int, ...]) -> NTTTables:
     def _shoup(w32, pcol):
         return ((w32.astype(object) << 32) // pcol.astype(object)).astype(np.uint64)
 
+    # NOTE: tables hold host numpy arrays, NOT device arrays: this
+    # builder is lru-cached and may first run inside a jit/scan trace,
+    # where jnp.asarray would capture a trace-local constant tracer and
+    # poison every later trace (verified on jax 0.9).  numpy constants
+    # convert to trace-local constants at each use site instead.
     p_np = p_arr  # [L,1] uint64
     return NTTTables(
         n=n, primes=primes,
-        p=jnp.asarray(p_arr), mu=jnp.asarray(mu), k=jnp.asarray(k),
-        psi_rev=jnp.asarray(psi_rev),
-        psi_rev_shoup=jnp.asarray(_shoup(psi_rev, p_np)),
-        psi_inv_rev=jnp.asarray(psi_inv_rev),
-        psi_inv_rev_shoup=jnp.asarray(_shoup(psi_inv_rev, p_np)),
-        n_inv=jnp.asarray(n_inv),
-        n_inv_shoup=jnp.asarray(_shoup(n_inv, p_np)),
+        p=p_arr, mu=mu, k=k,
+        psi_rev=psi_rev,
+        psi_rev_shoup=_shoup(psi_rev, p_np),
+        psi_inv_rev=psi_inv_rev,
+        psi_inv_rev_shoup=_shoup(psi_inv_rev, p_np),
+        n_inv=n_inv,
+        n_inv_shoup=_shoup(n_inv, p_np),
     )
 
 
@@ -118,8 +123,8 @@ def ntt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
         x = a.reshape(*batch, L, m, 2 * half)
         u = x[..., :half]
         v = x[..., half:]
-        S = jax.lax.dynamic_slice_in_dim(t.psi_rev, m, m, axis=1)
-        Ssh = jax.lax.dynamic_slice_in_dim(t.psi_rev_shoup, m, m, axis=1)
+        S = t.psi_rev[:, m:2 * m]
+        Ssh = t.psi_rev_shoup[:, m:2 * m]
         pcol = p[..., None]  # [L,1,1]
         v = mul_mod_shoup(v, S[..., None].astype(jnp.uint64), Ssh[..., None], pcol)
         a = jnp.concatenate([add_mod(u, v, pcol), sub_mod(u, v, pcol)],
@@ -142,8 +147,8 @@ def intt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
         x = a.reshape(*batch, L, h, 2 * half)
         u = x[..., :half]
         v = x[..., half:]
-        S = jax.lax.dynamic_slice_in_dim(t.psi_inv_rev, h, h, axis=1)
-        Ssh = jax.lax.dynamic_slice_in_dim(t.psi_inv_rev_shoup, h, h, axis=1)
+        S = t.psi_inv_rev[:, h:2 * h]
+        Ssh = t.psi_inv_rev_shoup[:, h:2 * h]
         pcol = p[..., None]
         s = add_mod(u, v, pcol)
         d = mul_mod_shoup(sub_mod(u, v, pcol),
