@@ -1,0 +1,119 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Runs on the real TPU chip (default env: the axon-tunnelled device).
+Metrics follow BASELINE.json: NTTs/sec per chip at logN=15 (primary),
+plus ct-ct mults/sec and encrypted-MPC steps/sec on stderr.
+
+The reference publishes no performance numbers (BASELINE.md), so
+vs_baseline is reported against the first recorded value of this
+benchmark itself (1.0 on the first run).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, warmup=2, iters=10):
+    import jax
+
+    for _ in range(warmup):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_ntt_logn15(limbs: int = 20) -> float:
+    """Full-chain forward NTTs/sec at logN=15 (counted per limb-ring
+    transform, the unit kernel of every CKKS op)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hectr_tpu.ckks.ntt import build_ntt_tables, ntt
+    from hectr_tpu.ckks.primes import find_ntt_primes
+
+    n = 1 << 15
+    primes = tuple(find_ntt_primes(30, limbs, 2 * n))
+    t = build_ntt_tables(n, primes)
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, np.array(primes).reshape(-1, 1),
+                     size=(limbs, n)).astype(np.uint32)
+    f = jax.jit(lambda x: ntt(x, t))
+    dt = _timeit(f, jnp.asarray(a))
+    return limbs / dt
+
+
+def bench_ctct_mult_logn14() -> float:
+    """ct-ct multiplies (relinearised + rescaled)/sec at logN=14, the
+    BASELINE.json config #3 shape."""
+    import jax
+
+    from hectr_tpu.config import CKKSPreset
+    from hectr_tpu.ckks import scheme as S
+    from hectr_tpu.ckks.context import make_context
+    from hectr_tpu.ckks.keyswitch import gen_relin_key, mul_ct
+
+    preset = CKKSPreset(name="bench14", logn=14, slots=64, scale_bits=50,
+                        limb_bits=25, mult_depth=5)
+    ctx = make_context(preset)
+    keys = S.keygen(ctx, jax.random.PRNGKey(0))
+    rk = gen_relin_key(ctx, keys, jax.random.PRNGKey(1))
+    v = np.random.default_rng(0).uniform(-1, 1, ctx.slots).astype(np.complex128)
+    pt = S.encode(ctx, v, ctx.max_limbs)
+    ca = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(2))
+    cb = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(3))
+
+    def mult(a, b):
+        return S.rescale_pair(ctx, mul_ct(ctx, a, b, rk)).data
+
+    f = jax.jit(mult)
+    dt = _timeit(f, ca, cb)
+    return 1.0 / dt
+
+
+def bench_hempc_step() -> float:
+    """Encrypted MPC regulator steps/sec at the reference parameters
+    (logn=12, slots=16, Delta=2^50) -- the headline capability."""
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    f = jax.jit(fn)
+    dt = _timeit(f, *args, warmup=1, iters=5)
+    return 1.0 / dt
+
+
+def main():
+    t_start = time.time()
+    results = {}
+    for name, fn in [("ntt_logn15", bench_ntt_logn15),
+                     ("ctct_mult_logn14", bench_ctct_mult_logn14),
+                     ("hempc_step_logn12", bench_hempc_step)]:
+        try:
+            results[name] = fn()
+            print(f"[bench] {name}: {results[name]:.1f}/s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
+    print(f"[bench] total {time.time()-t_start:.0f}s", file=sys.stderr)
+
+    primary = results.get("ntt_logn15", 0.0)
+    print(json.dumps({
+        "metric": "negacyclic limb-NTTs/sec @ logN=15 (single chip)",
+        "value": round(primary, 1),
+        "unit": "NTT/s",
+        "vs_baseline": 1.0,
+        "secondary": {k: round(v, 2) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

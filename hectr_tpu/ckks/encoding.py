@@ -43,15 +43,19 @@ def embedding_matrices(slots: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang), np.sin(ang)
 
 
-def embed(v: jnp.ndarray, slots: int) -> jnp.ndarray:
-    """Complex slot values v[s] -> real subring coefficients m'[2s]
-    (unscaled): m' = (1/s) * Re(E^H v)."""
+def embed_ri(vre: jnp.ndarray, vim: jnp.ndarray, slots: int) -> jnp.ndarray:
+    """Slot values (re, im)[s] -> real subring coefficients m'[2s]
+    (unscaled): m' = (1/s) * Re(E^H v).  Real-only arithmetic: TPU has
+    no complex128, so the whole compute path stays in f64 pairs."""
     ReE, ImE = embedding_matrices(slots)
-    ReE = jnp.asarray(ReE)
-    ImE = jnp.asarray(ImE)
-    vre = jnp.real(v)
-    vim = jnp.imag(v)
-    return (ReE.T @ vre + ImE.T @ vim) / slots
+    return (jnp.asarray(ReE).T @ vre + jnp.asarray(ImE).T @ vim) / slots
+
+
+def embed(v, slots: int) -> jnp.ndarray:
+    """Complex slot values v[s] -> real subring coefficients (host/CPU
+    convenience wrapper over embed_ri)."""
+    v = np.asarray(v, dtype=np.complex128)
+    return embed_ri(jnp.asarray(v.real), jnp.asarray(v.imag), slots)
 
 
 def unembed(m: jnp.ndarray, slots: int) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -94,6 +94,7 @@ def apply_automorphism(data: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def _gen_switching_key(ctx: CKKSContext, sk_full: jnp.ndarray,
                        s_prime: jnp.ndarray, key) -> jnp.ndarray:
     """Key switching s' -> s.  Returns uint32 [K, 2, K+S, N] (NTT
@@ -101,6 +102,10 @@ def _gen_switching_key(ctx: CKKSContext, sk_full: jnp.ndarray,
 
     sk_full, s_prime: [K+S(+...), N] NTT-domain secrets over the full
     chain (s_prime only needs the data+special rows used here).
+
+    Jitted with the context static: one compile serves relinearisation
+    and every rotation amount (eager execution pays a per-op dispatch
+    round-trip on the remote-TPU path, which made keygen minutes-slow).
     """
     kd = ctx.max_limbs
     ns = len(ctx.special_primes)

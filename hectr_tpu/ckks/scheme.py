@@ -30,7 +30,7 @@ import numpy as np
 
 from hectr_tpu.ckks import dd
 from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.encoding import embed, integer_residues, unembed
+from hectr_tpu.ckks.encoding import embed_ri, integer_residues, unembed
 from hectr_tpu.ckks.modmath import add_mod, mul_mod, mul_mod_shoup, neg_mod, sub_mod
 from hectr_tpu.ckks.ntt import intt, ntt
 
@@ -102,8 +102,14 @@ def _sample_uniform(key, primes_col: jnp.ndarray, n: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=0)
 def keygen(ctx: CKKSContext, key) -> KeySet:
-    """Generate (sk, pk): sk ternary; pk = (-a s + e, a) mod Q_max."""
+    """Generate (sk, pk): sk ternary; pk = (-a s + e, a) mod Q_max.
+    Jitted (static ctx): eager execution is pathological on the
+    remote-TPU dispatch path."""
     k_s, k_a, k_e = jax.random.split(key, 3)
     lf = len(ctx.full_primes)
     pcol_full = jnp.asarray(
@@ -153,14 +159,24 @@ def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> Plaintext:
 # ---------------------------------------------------------------------------
 
 
-def encode(ctx: CKKSContext, v: jnp.ndarray, k: int,
+def encode(ctx: CKKSContext, v, k: int,
            scale: Fraction | None = None) -> Plaintext:
-    """Complex slot values v[slots] -> NTT-domain plaintext over the
-    first k limbs at the given scale (default: the context Delta)."""
+    """Slot values -> NTT-domain plaintext over the first k limbs at
+    the given scale (default: the context Delta).
+
+    v is either a complex array (host/numpy path) or an (re, im) pair
+    of real f64 arrays -- the jit/TPU path, since TPU has no
+    complex128 (the canonical embedding runs on real pairs either way).
+    """
     scale = ctx.delta if scale is None else scale
     s = ctx.slots
     stride = ctx.n // (2 * s)
-    m = embed(jnp.asarray(v, dtype=jnp.complex128), s)       # [2s] real
+    if isinstance(v, tuple):
+        vre, vim = v
+    else:
+        v = np.asarray(v, dtype=np.complex128)
+        vre, vim = jnp.asarray(v.real), jnp.asarray(v.imag)
+    m = embed_ri(vre, vim, s)                                # [2s] real
     y = jnp.round(m * float(scale))                          # integer f64
     res = integer_residues(y, ctx.primes_col(k))             # [k, 2s]
     coeffs = jnp.zeros((k, ctx.n), dtype=jnp.uint32)
@@ -168,9 +184,10 @@ def encode(ctx: CKKSContext, v: jnp.ndarray, k: int,
     return Plaintext(data=ntt(coeffs, ctx.tables(k)), scale=scale)
 
 
-def decode(ctx: CKKSContext, pt: Plaintext) -> jnp.ndarray:
-    """NTT-domain plaintext -> complex slot values [slots], via the
-    double-double fractional-CRT (see hectr_tpu.ckks.dd).
+def decode_ri(ctx: CKKSContext, pt: Plaintext) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """NTT-domain plaintext -> slot values as an (re, im) pair of real
+    f64 arrays [slots], via the double-double fractional-CRT (see
+    hectr_tpu.ckks.dd).  Real-only output: the jit/TPU path.
 
     Decoding first drops to the base chain (limbs beyond base carry no
     information once value*scale < Q_base, which the base sizing
@@ -198,7 +215,13 @@ def decode(ctx: CKKSContext, pt: Plaintext) -> jnp.ndarray:
     y = dd.dd_mul(frac, (jnp.float64(dc.q_over_scale_hi),
                          jnp.float64(dc.q_over_scale_lo)))
     yf = dd.dd_to_float(y)                                   # [2s] values
-    re, im = unembed(yf, s)
+    return unembed(yf, s)
+
+
+def decode(ctx: CKKSContext, pt: Plaintext) -> jnp.ndarray:
+    """Complex-output decode (host/CPU convenience; TPU jit callers use
+    decode_ri)."""
+    re, im = decode_ri(ctx, pt)
     return re + 1j * im
 
 

@@ -43,9 +43,12 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
     k_top = ctx.max_limbs
 
     def enc_vec(v, key):
-        z = jnp.zeros(ctx.slots, dtype=jnp.complex128)
-        z = z.at[: v.shape[0]].set(v.astype(jnp.complex128))
-        return S.encrypt(ctx, keys, S.encode(ctx, z, k_top), key)
+        # d2z_vector parity (src/matrices.c:124-131): zero-extend the
+        # real vector into the slot space; real-pair encode (no
+        # complex dtypes -- TPU has no complex128)
+        zre = jnp.zeros(ctx.slots, dtype=jnp.float64).at[: v.shape[0]].set(v)
+        zim = jnp.zeros(ctx.slots, dtype=jnp.float64)
+        return S.encrypt(ctx, keys, S.encode(ctx, (zre, zim), k_top), key)
 
     def regulator(state, xhat, uhat, xr, ur):
         key = state
@@ -62,8 +65,8 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
         du = S.neg(ctx, S.add(ctx, gA, gB))
         ct_u = S.add(ctx, S.mod_down_pair(ctx, ct_uhat), du)
         # --- back across the trust boundary --------------------------
-        vals = S.decode(ctx, S.decrypt(ctx, keys, ct_u))
-        u = jnp.real(vals[:nu])
+        re, _ = S.decode_ri(ctx, S.decrypt(ctx, keys, ct_u))
+        u = re[:nu]
         return u, key
 
     return regulator
