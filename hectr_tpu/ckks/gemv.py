@@ -10,25 +10,39 @@ un-multiplied operand).
 
 Algorithm: the rotation/diagonal method
     M v = sum_r diag_r(M) * rot_r(v),   diag_r[i] = M[i, (i+r) mod s]
-with all `slots` rotations hoisted (single digit decomposition of the
-input, hectr_tpu.ckks.keyswitch.hoisted_rotations), each rotated
-ciphertext multiplied by its diagonal encoded at the trailing-pair
-scale, accumulated, and rescaled once -- so the output scale is exactly
-the input scale (scale-neutral gemv).
-
-Zero diagonals are skipped at trace time: the controller's gain
-matrices are [mN x n] blocks inside the slot layout (n=3, m=2 -> most
-of the 16 diagonals vanish), so skipping is a big constant win and is
-exact (not an approximation).
+with
+  * exact skipping of zero diagonals (the controller's gain matrices
+    are small blocks inside the slot layout, so most diagonals vanish),
+  * hoisting: ONE digit decomposition of the input shared by every
+    rotation amount,
+  * diagonal plaintexts precomputed eagerly at closure-build time (they
+    are static per matrix/level -- encoding them inside the traced step
+    bloated both the graph and the runtime),
+  * a lax.scan over rotation amounts (stacked keys/permutations), which
+    keeps the compiled graph one-body-sized instead of unrolling all
+    `slots` rotations -- the remote-TPU compile of the fully unrolled
+    encrypted-MPC step took minutes,
+  * one rescale at the end; output scale == input scale (diagonals are
+    encoded at the trailing-pair scale).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.keyswitch import hoisted_rotations
-from hectr_tpu.ckks.scheme import Ciphertext, add, encode, mul_pt, rescale_pair
+from hectr_tpu.ckks.keyswitch import (
+    _inner_product,
+    _mod_down_special,
+    decompose_digits,
+    eval_permutation,
+    galois_element,
+)
+from hectr_tpu.ckks.modmath import add_mod, mul_mod
+from hectr_tpu.ckks.scheme import Ciphertext, encode, mul_pt, rescale_pair
 
 
 def diagonals(M: np.ndarray, slots: int) -> np.ndarray:
@@ -36,27 +50,67 @@ def diagonals(M: np.ndarray, slots: int) -> np.ndarray:
     diag[r, i] = M[i, (i+r) mod slots]."""
     Mz = np.zeros((slots, slots), dtype=np.complex128)
     Mz[:M.shape[0], :M.shape[1]] = M
-    idx = (np.arange(slots)[None, :] + np.arange(slots)[:, None]) % slots
-    # diag[r, i] = Mz[i, (i+r) % s]
     return np.stack([Mz[np.arange(slots), (np.arange(slots) + r) % slots]
                      for r in range(slots)])
 
 
-def gemv(ctx: CKKSContext, M: np.ndarray, ct: Ciphertext,
-         rot_keys: dict, tol: float = 0.0) -> Ciphertext:
-    """Encrypted M @ v.  Consumes one level (rescales by the trailing
-    prime pair); output scale == input scale."""
+def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict):
+    """Build an encrypted-gemv closure for a fixed matrix at a fixed
+    level (k input limbs).  All static material -- diagonal plaintexts,
+    evaluation permutations, stacked level-sliced switching keys -- is
+    materialised eagerly here, outside any trace."""
     s = ctx.slots
-    k = ct.limbs
     diags = diagonals(np.asarray(M), s)
-    active = [r for r in range(s) if np.max(np.abs(diags[r])) > tol]
+    active = [r for r in range(s) if np.max(np.abs(diags[r])) > 0.0]
     if not active:
         active = [0]
     pair = ctx.pair_scale(k)
-    rots = hoisted_rotations(ctx, ct, active, rot_keys)
-    acc = None
-    for r, ct_r in zip(active, rots):
-        pt = encode(ctx, diags[r], k, scale=pair)
-        term = mul_pt(ctx, ct_r, pt)
-        acc = term if acc is None else add(ctx, acc, term)
-    return rescale_pair(ctx, acc)
+    pts = {r: encode(ctx, diags[r], k, scale=pair) for r in active}
+    rot_active = [r for r in active if r % s != 0]
+
+    ns = len(ctx.special_primes)
+    rows = np.array(list(range(k)) +
+                    list(range(ctx.max_limbs, ctx.max_limbs + ns)))
+    if rot_active:
+        perms = jnp.asarray(np.stack([
+            eval_permutation(ctx.n, galois_element(r, ctx.n))
+            for r in rot_active]))
+        ksk_stack = jnp.stack([rot_keys[r][:k][:, :, rows, :]
+                               for r in rot_active])   # [R, k, 2, k+S, N]
+        pt_stack = jnp.stack([pts[r].data for r in rot_active])  # [R, k, N]
+    t = ctx.tables(k)
+
+    def apply(ct: Ciphertext) -> Ciphertext:
+        assert ct.limbs == k, (ct.limbs, k)
+        if 0 in pts:
+            acc = mul_pt(ctx, ct, pts[0]).data
+        else:
+            acc = jnp.zeros_like(ct.data)
+        if rot_active:
+            digits = decompose_digits(ctx, ct.data[1])      # hoisted
+            c0 = ct.data[0]
+
+            def body(carry, inp):
+                perm, pt_data, ksk = inp
+                dig_r = digits[..., perm]
+                ks_ext = _inner_product(ctx, dig_r, ksk, k, sliced=True)
+                ks = _mod_down_special(ctx, ks_ext, k)      # [2, k, N]
+                c0r = c0[..., perm]
+                term0 = mul_mod(add_mod(c0r, ks[0], t.p), pt_data,
+                                t.p, t.mu, t.k)
+                term1 = mul_mod(ks[1], pt_data, t.p, t.mu, t.k)
+                carry = add_mod(carry, jnp.stack([term0, term1]), t.p)
+                return carry, None
+
+            acc, _ = jax.lax.scan(body, acc, (perms, pt_stack, ksk_stack))
+        out = Ciphertext(data=acc, scale=ct.scale * pair)
+        return rescale_pair(ctx, out)
+
+    return apply
+
+
+def gemv(ctx: CKKSContext, M: np.ndarray, ct: Ciphertext,
+         rot_keys: dict) -> Ciphertext:
+    """Encrypted M @ v.  Consumes one level; output scale == input
+    scale.  (One-shot convenience; loops should build `make_gemv` once.)"""
+    return make_gemv(ctx, M, ct.limbs, rot_keys)(ct)

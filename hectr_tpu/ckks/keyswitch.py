@@ -211,14 +211,20 @@ def decompose_digits(ctx: CKKSContext, c1: jnp.ndarray) -> jnp.ndarray:
 
 
 def _inner_product(ctx: CKKSContext, digits: jnp.ndarray,
-                   ksk: jnp.ndarray, k: int) -> jnp.ndarray:
+                   ksk: jnp.ndarray, k: int,
+                   sliced: bool = False) -> jnp.ndarray:
     """sum_j digits[j] * ksk[j] over the extended modulus.
-    digits [k, k+S, N]; ksk rows sliced to this level -> [2, k+S, N]."""
+    digits [k, k+S, N]; ksk rows sliced to this level -> [2, k+S, N].
+    Pass sliced=True when ksk is already [k, 2, k+S, N] (pre-sliced at
+    closure-build time, e.g. by gemv's stacked scan)."""
     ns = len(ctx.special_primes)
     tks = ctx.tables_ks(k)
-    rows = list(range(k)) + list(range(ctx.max_limbs,
-                                       ctx.max_limbs + ns))
-    ksk_l = ksk[:k][:, :, jnp.asarray(rows), :]           # [k, 2, k+S, N]
+    if sliced:
+        ksk_l = ksk
+    else:
+        rows = list(range(k)) + list(range(ctx.max_limbs,
+                                           ctx.max_limbs + ns))
+        ksk_l = ksk[:k][:, :, jnp.asarray(rows), :]       # [k, 2, k+S, N]
     prod = mul_mod(digits[:, None, :, :], ksk_l, tks.p, tks.mu, tks.k)
     acc = prod[0]
     for j in range(1, k):

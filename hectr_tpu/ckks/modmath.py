@@ -97,6 +97,52 @@ def mul_mod_shoup(a, w, w_shoup, p):
     return jnp.where(r >= p, r - p, r).astype(U32)
 
 
+# ---------------------------------------------------------------------------
+# pure-uint32 variants (no emulated uint64 on the hot path)
+# ---------------------------------------------------------------------------
+#
+# TPUs have no native 64-bit vector units; XLA emulates uint64 with
+# 32-bit pairs at a several-x cost.  The NTT butterfly only needs
+# (a*w) mod p with a precomputed Shoup companion, which closes over
+# pure 32-bit arithmetic:  hi32(a*w') via 16-bit partial products with
+# explicit carry, then r = a*w - hi*p in wrapping uint32 (exact because
+# the true remainder is < 2p < 2^31).  These are also the exact
+# contracts the Pallas kernels implement.
+
+_MASK16 = np.uint32(0xFFFF)
+
+
+def _mulhi32(a, w):
+    """hi 32 bits of a*w for a < 2^30, w < 2^32 (both uint32)."""
+    a1 = a >> jnp.uint32(16)
+    a0 = a & _MASK16
+    w1 = w >> jnp.uint32(16)
+    w0 = w & _MASK16
+    lo = a0 * w0
+    mid1 = a1 * w0 + (lo >> jnp.uint32(16))          # < 2^31, exact
+    mid2 = a0 * w1                                    # < 2^32, exact
+    s = mid1 + mid2                                   # may wrap
+    carry = (s < mid1).astype(jnp.uint32)
+    return a1 * w1 + (s >> jnp.uint32(16)) + (carry << jnp.uint32(16))
+
+
+def add_mod_u32(a, b, p32):
+    s = a + b                                         # < 2^32, exact
+    return jnp.where(s >= p32, s - p32, s)
+
+
+def sub_mod_u32(a, b, p32):
+    d = a - b                                         # wrapping
+    return jnp.where(a < b, d + p32, d)
+
+
+def mul_mod_shoup_u32(a, w32, w_shoup32, p32):
+    """(a * w) mod p with w' = floor(w*2^32/p), all uint32."""
+    q = _mulhi32(a, w_shoup32)
+    r = a * w32 - q * p32                             # wrapping; true r < 2p
+    return jnp.where(r >= p32, r - p32, r)
+
+
 def to_rns(coeffs_obj: np.ndarray, primes: list[int]) -> np.ndarray:
     """Host: exact signed big-int coefficients -> uint32[L, N] residues."""
     out = np.empty((len(primes), coeffs_obj.shape[0]), dtype=np.uint32)

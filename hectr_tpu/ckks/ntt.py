@@ -29,11 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from hectr_tpu.ckks.modmath import (
-    add_mod,
+    add_mod_u32,
     barrett_constants,
     mul_mod,
-    mul_mod_shoup,
-    sub_mod,
+    mul_mod_shoup_u32,
+    sub_mod_u32,
 )
 from hectr_tpu.ckks.primes import root_of_unity
 
@@ -62,6 +62,7 @@ class NTTTables:
     psi_inv_rev_shoup: np.ndarray
     n_inv: np.ndarray          # [L, 1] uint32   N^-1 mod p
     n_inv_shoup: np.ndarray    # [L, 1] uint64
+    p32: np.ndarray = None     # [L, 1] uint32 (u32 butterfly path)
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,7 +90,10 @@ def build_ntt_tables(n: int, primes: tuple[int, ...]) -> NTTTables:
         n_inv[i, 0] = pow(n, -1, p)
 
     def _shoup(w32, pcol):
-        return ((w32.astype(object) << 32) // pcol.astype(object)).astype(np.uint64)
+        # Shoup companions are < 2^32 by construction (w < p): store as
+        # uint32 so the butterfly runs in pure 32-bit arithmetic.
+        return (((w32.astype(object) << 32) // pcol.astype(object))
+                % (1 << 32)).astype(np.uint32)
 
     # NOTE: tables hold host numpy arrays, NOT device arrays: this
     # builder is lru-cached and may first run inside a jit/scan trace,
@@ -106,6 +110,7 @@ def build_ntt_tables(n: int, primes: tuple[int, ...]) -> NTTTables:
         psi_inv_rev_shoup=_shoup(psi_inv_rev, p_np),
         n_inv=n_inv,
         n_inv_shoup=_shoup(n_inv, p_np),
+        p32=p_arr.astype(np.uint32),
     )
 
 
@@ -115,7 +120,7 @@ def ntt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
     n = t.n
     batch = a.shape[:-2]
     L = a.shape[-2]
-    p = t.p  # [L,1] broadcasts over trailing axes after reshape
+    p = t.p32  # [L,1] broadcasts over trailing axes after reshape
     half = n
     m = 1
     while m < n:
@@ -126,8 +131,8 @@ def ntt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
         S = t.psi_rev[:, m:2 * m]
         Ssh = t.psi_rev_shoup[:, m:2 * m]
         pcol = p[..., None]  # [L,1,1]
-        v = mul_mod_shoup(v, S[..., None].astype(jnp.uint64), Ssh[..., None], pcol)
-        a = jnp.concatenate([add_mod(u, v, pcol), sub_mod(u, v, pcol)],
+        v = mul_mod_shoup_u32(v, S[..., None], Ssh[..., None], pcol)
+        a = jnp.concatenate([add_mod_u32(u, v, pcol), sub_mod_u32(u, v, pcol)],
                             axis=-1).reshape(*batch, L, n)
         m *= 2
     return a
@@ -139,7 +144,7 @@ def intt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
     n = t.n
     batch = a.shape[:-2]
     L = a.shape[-2]
-    p = t.p
+    p = t.p32
     half = 1
     m = n
     while m > 1:
@@ -150,13 +155,13 @@ def intt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
         S = t.psi_inv_rev[:, h:2 * h]
         Ssh = t.psi_inv_rev_shoup[:, h:2 * h]
         pcol = p[..., None]
-        s = add_mod(u, v, pcol)
-        d = mul_mod_shoup(sub_mod(u, v, pcol),
-                          S[..., None].astype(jnp.uint64), Ssh[..., None], pcol)
+        s = add_mod_u32(u, v, pcol)
+        d = mul_mod_shoup_u32(sub_mod_u32(u, v, pcol),
+                              S[..., None], Ssh[..., None], pcol)
         a = jnp.concatenate([s, d], axis=-1).reshape(*batch, L, n)
         half *= 2
         m = h
-    return mul_mod_shoup(a, t.n_inv.astype(jnp.uint64), t.n_inv_shoup, p)
+    return mul_mod_shoup_u32(a, t.n_inv, t.n_inv_shoup, p)
 
 
 def pointwise_mul(a: jnp.ndarray, b: jnp.ndarray, t: NTTTables) -> jnp.ndarray:

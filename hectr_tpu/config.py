@@ -22,6 +22,16 @@ import jax
 # unaffected.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the remote-TPU compile path takes
+# minutes for the large fused CKKS graphs (the full encrypted-MPC
+# regulator step); the cache makes every process after the first start
+# in seconds.  Location is repo-local so driver/bench runs share it.
+import pathlib as _pathlib
+
+_cache_dir = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # Algorithm constants (reference: src/hectr.h:39-41).
 TOLERANCE = 1e-10   # DARE / QP convergence tolerance  (HECTR_TOLERANCE)
 SMALL = 1e-5        # noise weights, imag-residue canary (HECTR_SMALL)

@@ -1,0 +1,119 @@
+"""GPQHE-style API facade: the reference's he_* surface, name for name.
+
+The reference links against GPQHE and calls the API reconstructed in
+SURVEY.md §2.3 (hectx_init, he_keypair, he_genrk, he_ecd/he_dcd,
+he_enc_pk/he_dec, he_add/he_sub/he_neg, he_copy_ct, he_moddown,
+he_gemv).  This module exposes those exact names over the RNS-CKKS
+engine so code written against the reference's shape ports directly.
+The underlying objects are immutable pytrees, so the alloc/free pairs
+of the C API (he_alloc_* / he_free_*, SURVEY.md §2.3 memory protocol)
+have no equivalent -- construction is allocation.
+
+Call-site parity map:
+  hectx_init(logn, logq, slots, Delta)   src/ctr.c:514-518
+  he_keypair / he_genrk                  src/ctr.c:529,532
+  he_ecd / he_dcd                        src/ctr.c:466-470, 489-494
+  he_enc_pk / he_dec                     src/ctr.c:471-475, 489
+  he_add / he_sub / he_neg               src/hempc.c:253-262
+  he_copy_ct / he_moddown                src/hempc.c:264-265
+  he_gemv                                src/hempc.c:257-259
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hectr_tpu.config import CKKSPreset
+from hectr_tpu.ckks import scheme as _s
+from hectr_tpu.ckks.context import CKKSContext, make_context
+from hectr_tpu.ckks.gemv import gemv as _gemv
+from hectr_tpu.ckks.keyswitch import gen_rotation_keys
+
+
+@dataclasses.dataclass
+class HEContext:
+    ctx: CKKSContext
+    keys: Optional[_s.KeySet] = None
+    rot_keys: Optional[dict] = None
+    _key: jax.Array = None
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+
+def hectx_init(logn: int, logq: int, slots: int, delta_bits: int,
+               seed: int = 0) -> HEContext:
+    """Initialise a CKKS context.  The reference passes q = 2^109 as a
+    bignum (src/ctr.c:515-516); here logq sizes the RNS chain: depth =
+    max(1, (logq - 60) // delta_bits) scale pairs over a ~2^60 base."""
+    depth = max(1, (logq - 60) // delta_bits)
+    preset = CKKSPreset(name=f"he-{logn}-{logq}", logn=logn, slots=slots,
+                        scale_bits=delta_bits, limb_bits=25,
+                        mult_depth=depth)
+    return HEContext(ctx=make_context(preset),
+                     _key=jax.random.PRNGKey(seed))
+
+
+def he_keypair(hc: HEContext) -> None:
+    hc.keys = _s.keygen(hc.ctx, hc._next_key())
+
+
+def he_genrk(hc: HEContext) -> None:
+    """Rotation keys for amounts 0..slots-1 (src/ctr.c:521-532)."""
+    assert hc.keys is not None, "he_keypair first"
+    hc.rot_keys = gen_rotation_keys(hc.ctx, hc.keys, hc._next_key())
+
+
+def he_ecd(hc: HEContext, v, scale=None) -> _s.Plaintext:
+    return _s.encode(hc.ctx, np.asarray(v, dtype=np.complex128),
+                     hc.ctx.max_limbs, scale=scale)
+
+
+def he_dcd(hc: HEContext, pt: _s.Plaintext):
+    return _s.decode(hc.ctx, pt)
+
+
+def he_enc_pk(hc: HEContext, pt: _s.Plaintext) -> _s.Ciphertext:
+    return _s.encrypt(hc.ctx, hc.keys, pt, hc._next_key())
+
+
+def he_dec(hc: HEContext, ct: _s.Ciphertext) -> _s.Plaintext:
+    return _s.decrypt(hc.ctx, hc.keys, ct)
+
+
+def he_add(hc, a, b):
+    return _s.add(hc.ctx, a, b)
+
+
+def he_sub(hc, a, b):
+    return _s.sub(hc.ctx, a, b)
+
+
+def he_neg(hc, a):
+    return _s.neg(hc.ctx, a)
+
+
+def he_copy_ct(hc, a):
+    return a  # immutable pytrees: copy is identity
+
+
+def he_moddown(hc, a):
+    return _s.mod_down_pair(hc.ctx, a)
+
+
+def he_gemv(hc: HEContext, M, ct: _s.Ciphertext) -> _s.Ciphertext:
+    """Plaintext-matrix x ciphertext-vector product (consumes one
+    level; the reference pairs it with he_moddown on the unmultiplied
+    operand)."""
+    assert hc.rot_keys is not None, "he_genrk first"
+    return _gemv(hc.ctx, np.asarray(M), ct, hc.rot_keys)
+
+
+def hectx_exit(hc: HEContext) -> None:
+    hc.keys = None
+    hc.rot_keys = None

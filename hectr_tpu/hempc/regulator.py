@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from hectr_tpu.ckks import scheme as S
 from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.gemv import gemv
+from hectr_tpu.ckks.gemv import make_gemv
 from hectr_tpu.ckks.scheme import KeySet
 from hectr_tpu.control.mpc import mpc_gains
 from hectr_tpu.control.simulate import LinearModel, Plant
@@ -39,8 +39,11 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
     Q, R = weighting_matrices(plant.xs, plant.us)
     K_A, K_B = mpc_gains(ny, nx, nu, horizon, model.A, model.B, model.C, Q, R)
     # d2z_matrix zero-embedding into the slots x slots layout
-    # (src/hempc.c:187,195 via src/matrices.c:133-141)
+    # (src/hempc.c:187,195 via src/matrices.c:133-141); the gemv
+    # closures precompute diagonal plaintexts + stacked keys eagerly
     k_top = ctx.max_limbs
+    gemv_A = make_gemv(ctx, K_A, k_top, rot_keys)
+    gemv_B = make_gemv(ctx, K_B, k_top, rot_keys)
 
     def enc_vec(v, key):
         # d2z_vector parity (src/matrices.c:124-131): zero-extend the
@@ -60,8 +63,8 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
         # --- encrypted regulator (server side) -----------------------
         xdiff = S.sub(ctx, ct_xhat, ct_xr)
         udiff = S.sub(ctx, ct_uhat, ct_ur)
-        gA = gemv(ctx, K_A, xdiff, rot_keys)
-        gB = gemv(ctx, K_B, udiff, rot_keys)
+        gA = gemv_A(xdiff)
+        gB = gemv_B(udiff)
         du = S.neg(ctx, S.add(ctx, gA, gB))
         ct_u = S.add(ctx, S.mod_down_pair(ctx, ct_uhat), du)
         # --- back across the trust boundary --------------------------

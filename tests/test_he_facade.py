@@ -1,0 +1,46 @@
+"""The GPQHE-shaped facade must execute the reference's exact call
+sequence (hectr_simulate's crypto setup + ctr_hempc's op chain)."""
+
+import numpy as np
+
+from hectr_tpu import he
+
+
+def test_reference_call_sequence():
+    # src/ctr.c:510-532 setup shape
+    hc = he.hectx_init(logn=12, logq=109, slots=16, delta_bits=50)
+    he.he_keypair(hc)
+    he.he_genrk(hc)
+
+    # src/hempc.c:240-266 op chain on toy data
+    rng = np.random.default_rng(0)
+    xhat = np.zeros(16, np.complex128)
+    xhat[:3] = rng.uniform(-1, 1, 3)
+    xr = np.zeros(16, np.complex128)
+    xr[:3] = rng.uniform(-1, 1, 3)
+    uhat = np.zeros(16, np.complex128)
+    uhat[:2] = rng.uniform(-1, 1, 2)
+    ur = np.zeros(16, np.complex128)
+    K_A = np.zeros((16, 16))
+    K_A[:8, :3] = rng.normal(size=(8, 3))
+    K_B = np.zeros((16, 16))
+    K_B[:8, :2] = rng.normal(size=(8, 2))
+
+    ct_xhat = he.he_enc_pk(hc, he.he_ecd(hc, xhat))
+    ct_uhat = he.he_enc_pk(hc, he.he_ecd(hc, uhat))
+    ct_xr = he.he_enc_pk(hc, he.he_ecd(hc, xr))
+    ct_ur = he.he_enc_pk(hc, he.he_ecd(hc, ur))
+
+    xdiff = he.he_sub(hc, ct_xhat, ct_xr)
+    udiff = he.he_sub(hc, ct_uhat, ct_ur)
+    gA = he.he_gemv(hc, K_A, xdiff)
+    gB = he.he_gemv(hc, K_B, udiff)
+    du = he.he_neg(hc, he.he_add(hc, gA, gB))
+    u = he.he_add(hc, he.he_moddown(hc, he.he_copy_ct(hc, ct_uhat)), du)
+
+    got = np.asarray(he.he_dcd(hc, he.he_dec(hc, u)))
+    want = uhat - (K_A @ (xhat - xr) + K_B @ (uhat - ur))
+    np.testing.assert_allclose(got.real, want.real, atol=1e-8)
+    # the reference's decode noise canary (src/ctr.c:493-494)
+    assert np.max(np.abs(got.imag)) < 1e-5
+    he.hectx_exit(hc)
