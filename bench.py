@@ -18,7 +18,15 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, warmup=2, iters=10):
+_T_START = time.time()
+_BUDGET_S = float(__import__("os").environ.get("HECTR_BENCH_BUDGET_S", "520"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T_START)
+
+
+def _timeit(fn, *args, warmup=2, iters=30):
     import jax
 
     for _ in range(warmup):
@@ -67,15 +75,17 @@ def bench_ctct_mult_logn14() -> float:
     keys = S.keygen(ctx, jax.random.PRNGKey(0))
     rk = gen_relin_key(ctx, keys, jax.random.PRNGKey(1))
     v = np.random.default_rng(0).uniform(-1, 1, ctx.slots).astype(np.complex128)
-    pt = S.encode(ctx, v, ctx.max_limbs)
-    ca = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(2))
-    cb = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(3))
+    # jit encode+encrypt: eagerly they pay one remote compile PER OP
+    enc = jax.jit(lambda key: S.encrypt(
+        ctx, keys, S.encode(ctx, v, ctx.max_limbs), key))
+    ca = enc(jax.random.PRNGKey(2))
+    cb = enc(jax.random.PRNGKey(3))
 
     def mult(a, b):
         return S.rescale_pair(ctx, mul_ct(ctx, a, b, rk)).data
 
     f = jax.jit(mult)
-    dt = _timeit(f, ca, cb)
+    dt = _timeit(f, ca, cb, iters=20)
     return 1.0 / dt
 
 
@@ -88,16 +98,25 @@ def bench_hempc_step() -> float:
 
     fn, args = entry()
     f = jax.jit(fn)
-    dt = _timeit(f, *args, warmup=1, iters=5)
+    dt = _timeit(f, *args, warmup=1, iters=20)
     return 1.0 / dt
 
 
 def main():
     t_start = time.time()
     results = {}
+    # generous per-section cost estimates (first-compile dominated);
+    # skip a section if the remaining budget cannot fit it so the JSON
+    # line always prints
+    est = {"ntt_logn15": 60, "ctct_mult_logn14": 420,
+           "hempc_step_logn12": 240}
     for name, fn in [("ntt_logn15", bench_ntt_logn15),
-                     ("ctct_mult_logn14", bench_ctct_mult_logn14),
-                     ("hempc_step_logn12", bench_hempc_step)]:
+                     ("hempc_step_logn12", bench_hempc_step),
+                     ("ctct_mult_logn14", bench_ctct_mult_logn14)]:
+        if _remaining() < est[name]:
+            print(f"[bench] {name} SKIPPED (budget: {_remaining():.0f}s "
+                  f"left, needs ~{est[name]}s)", file=sys.stderr)
+            continue
         try:
             results[name] = fn()
             print(f"[bench] {name}: {results[name]:.1f}/s", file=sys.stderr)

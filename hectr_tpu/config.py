@@ -22,15 +22,18 @@ import jax
 # unaffected.
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the remote-TPU compile path takes
-# minutes for the large fused CKKS graphs (the full encrypted-MPC
-# regulator step); the cache makes every process after the first start
-# in seconds.  Location is repo-local so driver/bench runs share it.
+# Persistent compilation cache -- OPT-IN via HECTR_JAX_CACHE=1.
+# On the CPU backend it works and helps; on the remote-TPU (axon)
+# plugin, serialising executables that embed multi-MB twiddle-table
+# literals hangs indefinitely (observed: a ct-ct mult graph that
+# compiles in ~90s with the cache disabled never finished with it on).
+import os as _os
 import pathlib as _pathlib
 
-_cache_dir = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if _os.environ.get("HECTR_JAX_CACHE") == "1":
+    _cache_dir = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # Algorithm constants (reference: src/hectr.h:39-41).
 TOLERANCE = 1e-10   # DARE / QP convergence tolerance  (HECTR_TOLERANCE)
