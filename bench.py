@@ -27,6 +27,13 @@ def _remaining() -> float:
 
 
 def _timeit(fn, *args, warmup=2, iters=30):
+    """Repeat-call timing.  NOTE: the axon remote-TPU runtime memoizes
+    repeated executions (identical executable + arguments return
+    without re-running -- measured: a 64MB elementwise op 'runs' at
+    4.1TB/s, 5x the chip's HBM bandwidth), so hot ops must be measured
+    with _timeit_unique below.  This plain version is kept for ops
+    whose argument structure can't be perturbed cheaply; its numbers
+    are upper bounds on throughput."""
     import jax
 
     for _ in range(warmup):
@@ -39,9 +46,31 @@ def _timeit(fn, *args, warmup=2, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_unique(fn_x_c, x0, iters=30):
+    """Chained timing with a per-call unique scalar: r = fn(r, c_i).
+    Every call has distinct argument values AND a data dependence on
+    the previous call, defeating the remote runtime's memoization while
+    still amortizing RPC latency across the chain."""
+    import jax
+    import jax.numpy as jnp
+
+    r = fn_x_c(x0, jnp.uint32(1))
+    jax.block_until_ready(r)
+    cs = [jnp.uint32(i + 2) for i in range(iters)]
+    jax.block_until_ready(cs)
+    t0 = time.perf_counter()
+    r = x0
+    for i in range(iters):
+        r = fn_x_c(r, cs[i])
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_ntt_logn15(limbs: int = 20) -> float:
     """Full-chain forward NTTs/sec at logN=15 (counted per limb-ring
-    transform, the unit kernel of every CKKS op)."""
+    transform, the unit kernel of every CKKS op).  Chained unique-input
+    protocol (see _timeit_unique); NTT output residues are valid input,
+    so r = ntt(perturb(r, c)) keeps every call live."""
     import jax
     import jax.numpy as jnp
 
@@ -54,8 +83,8 @@ def bench_ntt_logn15(limbs: int = 20) -> float:
     rng = np.random.default_rng(0)
     a = rng.integers(0, np.array(primes).reshape(-1, 1),
                      size=(limbs, n)).astype(np.uint32)
-    f = jax.jit(lambda x: ntt(x, t))
-    dt = _timeit(f, jnp.asarray(a))
+    f = jax.jit(lambda x, c: ntt(jnp.where(x == c, x - c, x), t))
+    dt = _timeit_unique(f, jnp.asarray(a))
     return limbs / dt
 
 
@@ -85,21 +114,42 @@ def bench_ctct_mult_logn14() -> float:
         return S.rescale_pair(ctx, mul_ct(ctx, a, b, rk)).data
 
     f = jax.jit(mult)
-    dt = _timeit(f, ca, cb, iters=20)
-    return 1.0 / dt
+    # distinct-argument pipeline (remote runtime memoizes repeats)
+    cas = [enc(jax.random.PRNGKey(10 + i)) for i in range(12)]
+    jax.block_until_ready([c.data for c in cas])
+    r = f(ca, cb)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for c in cas:
+        r = f(c, cb)
+    jax.block_until_ready(r)
+    return len(cas) / (time.perf_counter() - t0)
 
 
 def bench_hempc_step() -> float:
     """Encrypted MPC regulator steps/sec at the reference parameters
-    (logn=12, slots=16, Delta=2^50) -- the headline capability."""
+    (logn=12, slots=16, Delta=2^50) -- the headline capability.
+    Chained: each step's control output feeds the next step's uhat, so
+    every call is live (closed-loop realistic AND memoization-proof)."""
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import entry
 
     fn, args = entry()
     f = jax.jit(fn)
-    dt = _timeit(f, *args, warmup=1, iters=20)
-    return 1.0 / dt
+    key, xhat, uhat, xr, ur = args
+    r = f(*args)
+    jax.block_until_ready(r)
+    iters = 20
+    xs = [jnp.asarray(xhat) + 1e-9 * (i + 1) for i in range(iters)]
+    jax.block_until_ready(xs)
+    t0 = time.perf_counter()
+    u = jnp.asarray(uhat)
+    for i in range(iters):
+        u = f(key, xs[i], u, xr, ur)
+    jax.block_until_ready(u)
+    return iters / (time.perf_counter() - t0)
 
 
 def main():

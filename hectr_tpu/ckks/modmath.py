@@ -122,8 +122,10 @@ def _mulhi32(a, w):
     mid1 = a1 * w0 + (lo >> jnp.uint32(16))          # < 2^31, exact
     mid2 = a0 * w1                                    # < 2^32, exact
     s = mid1 + mid2                                   # may wrap
-    carry = (s < mid1).astype(jnp.uint32)
-    return a1 * w1 + (s >> jnp.uint32(16)) + (carry << jnp.uint32(16))
+    # carry via select, not astype: Mosaic's bool->uint32 conversion
+    # helper recurses infinitely (jax 0.9 lowering.py _convert_helper)
+    carry = jnp.where(s < mid1, jnp.uint32(1 << 16), jnp.uint32(0))
+    return a1 * w1 + (s >> jnp.uint32(16)) + carry
 
 
 def add_mod_u32(a, b, p32):
@@ -144,7 +146,13 @@ def mul_mod_shoup_u32(a, w32, w_shoup32, p32):
 
 
 def to_rns(coeffs_obj: np.ndarray, primes: list[int]) -> np.ndarray:
-    """Host: exact signed big-int coefficients -> uint32[L, N] residues."""
+    """Host: exact signed big-int coefficients -> uint32[L, N] residues.
+    Uses the native C++ library (hectr_tpu.native) when available."""
+    from hectr_tpu import native
+
+    if native.available():
+        return native.to_rns(np.asarray(coeffs_obj, dtype=object),
+                             list(primes))
     out = np.empty((len(primes), coeffs_obj.shape[0]), dtype=np.uint32)
     c = coeffs_obj.astype(object)
     for i, p in enumerate(primes):
@@ -154,7 +162,12 @@ def to_rns(coeffs_obj: np.ndarray, primes: list[int]) -> np.ndarray:
 
 def from_rns(res: np.ndarray, primes: list[int]) -> np.ndarray:
     """Host: uint32[L, N] residues -> exact centered big-int coefficients
-    (object array), via CRT.  Test/oracle path, not jitted."""
+    (object array), via CRT.  Test/oracle path, not jitted.  Uses the
+    native C++ library (hectr_tpu.native) when available."""
+    from hectr_tpu import native
+
+    if native.available():
+        return native.crt_centered(np.asarray(res), list(primes))
     L, N = res.shape
     q = 1
     for p in primes:

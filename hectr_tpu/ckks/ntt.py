@@ -116,7 +116,17 @@ def build_ntt_tables(n: int, primes: tuple[int, ...]) -> NTTTables:
 
 def ntt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
     """Forward negacyclic NTT.  a: uint32[..., L, N] natural order ->
-    uint32[..., L, N] bit-reversed NTT domain."""
+    uint32[..., L, N] bit-reversed NTT domain.
+
+    Dispatches to the fused Pallas kernel on TPU backends (one HBM
+    read/write for all log2(N) stages); the stage-per-fusion XLA path
+    below is the portable fallback (CPU tests, shard_map bodies)."""
+    from hectr_tpu.ops.dispatch import use_pallas
+
+    if use_pallas(t.n):
+        from hectr_tpu.ops.ntt_pallas import ntt_pallas
+
+        return ntt_pallas(a, t)
     n = t.n
     batch = a.shape[:-2]
     L = a.shape[-2]
@@ -140,7 +150,14 @@ def ntt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
 
 def intt(a: jnp.ndarray, t: NTTTables) -> jnp.ndarray:
     """Inverse negacyclic NTT.  uint32[..., L, N] bit-reversed NTT
-    domain -> natural-order coefficients."""
+    domain -> natural-order coefficients.  Pallas-fused on TPU (see
+    ntt)."""
+    from hectr_tpu.ops.dispatch import use_pallas
+
+    if use_pallas(t.n):
+        from hectr_tpu.ops.ntt_pallas import intt_pallas
+
+        return intt_pallas(a, t)
     n = t.n
     batch = a.shape[:-2]
     L = a.shape[-2]

@@ -1,0 +1,70 @@
+"""Fused Pallas NTT kernels vs the portable XLA path (bit-exact).
+
+Runs in Pallas interpret mode on the CPU test backend; the same
+kernels compile natively on TPU (validated on hardware: bit-exact
+against the XLA path at logN=15, L=20).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hectr_tpu.ckks.ntt import build_ntt_tables, intt, ntt
+from hectr_tpu.ckks.primes import find_ntt_primes
+from hectr_tpu.ops.ntt_pallas import (
+    _pallas_tables,
+    intt_pallas,
+    ntt_pallas,
+    pallas_supported,
+)
+
+
+def _rand(primes, shape, seed=0):
+    rng = np.random.default_rng(seed)
+    pcol = np.array(primes).reshape(-1, 1)
+    return jnp.asarray(rng.integers(0, pcol, size=shape).astype(np.uint32))
+
+
+@pytest.mark.parametrize("logn", [8, 10, 12])
+def test_fwd_matches_xla(logn):
+    n = 1 << logn
+    primes = tuple(find_ntt_primes(30, 3, 2 * n))
+    t = build_ntt_tables(n, primes)
+    a = _rand(primes, (3, n))
+    assert jnp.array_equal(ntt_pallas(a, t, interpret=True), ntt(a, t))
+
+
+@pytest.mark.parametrize("logn", [8, 10, 12])
+def test_inv_matches_xla_and_roundtrips(logn):
+    n = 1 << logn
+    primes = tuple(find_ntt_primes(30, 3, 2 * n))
+    t = build_ntt_tables(n, primes)
+    a = _rand(primes, (3, n), seed=1)
+    fa = ntt(a, t)
+    assert jnp.array_equal(intt_pallas(fa, t, interpret=True), intt(fa, t))
+    assert jnp.array_equal(intt_pallas(ntt_pallas(a, t, interpret=True),
+                                       t, interpret=True), a)
+
+
+def test_batched_dims():
+    n = 512
+    primes = tuple(find_ntt_primes(30, 2, 2 * n))
+    t = build_ntt_tables(n, primes)
+    a = _rand(primes, (3, 2, 2, n), seed=2)
+    assert jnp.array_equal(ntt_pallas(a, t, interpret=True), ntt(a, t))
+
+
+def test_lane_twiddle_separability():
+    """The rank-1 factorization W(r,l) = B(r)*A(l) mod p is asserted
+    inside the table builder; building tables at several sizes proves
+    the identity the kernel relies on."""
+    for logn in (8, 9, 11):
+        n = 1 << logn
+        primes = tuple(find_ntt_primes(30, 2, 2 * n))
+        _pallas_tables(n, primes)
+
+
+def test_supported_predicate():
+    assert not pallas_supported(128)
+    assert pallas_supported(256)
+    assert pallas_supported(1 << 15)
