@@ -125,6 +125,16 @@ def mpc_gains(l, n, m, N, A, B, C, Q, R):
     return K_A, K_B
 
 
+def mpc_hessian(l, n, m, N, A, B, C, Q, R) -> np.ndarray:
+    """The condensed-QP Hessian H = Theta' CC' QQ CC Theta + RR
+    (reference calc_Hc, src/mpc.c:161-196) -- needed by the encrypted
+    projected-gradient QP (hectr_tpu.hempc.qp_enc), whose gradient is
+    H (du - du_unc)."""
+    AA, BB, Theta, CC, QQ, RR = horizon_matrices(l, n, m, N, A, B, C, Q, R)
+    CCTheta = CC @ Theta
+    return CCTheta.T @ QQ @ CCTheta + RR
+
+
 def _bound_rows(n, m, N, bounds: MPCBounds, uhat, Theta, f):
     """Assemble inequality rows A du + b <= 0 for the box constraints.
 

@@ -30,14 +30,36 @@ from hectr_tpu.control.stages import weighting_matrices
 
 
 def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
-                         model: LinearModel, plant: Plant, horizon: int):
+                         model: LinearModel, plant: Plant, horizon: int,
+                         bounds=None, relin_key=None, qp_iters: int = 2,
+                         qp_domain: float = 2.0):
     """Build the encrypted regulator closure.  The regulator state is a
-    jax PRNG key (fresh encryption randomness every step)."""
+    jax PRNG key (fresh encryption randomness every step).
+
+    With `bounds` (an MPCBounds carrying dumin/dumax) and a relin_key,
+    the regulator solves the box-constrained QP over ciphertext via
+    fixed-iteration projected gradient (hectr_tpu.hempc.qp_enc) --
+    capability beyond the reference, whose encrypted path is
+    unconstrained-only (src/hempc.c:216-266)."""
     ny, nx = np.shape(model.C)
     nu = np.shape(model.B)[1]
     assert ctx.slots >= nu * horizon, (ctx.slots, nu * horizon)
     Q, R = weighting_matrices(plant.xs, plant.us)
     K_A, K_B = mpc_gains(ny, nx, nu, horizon, model.A, model.B, model.C, Q, R)
+
+    qp_solve = None
+    if bounds is not None and bounds.dumin is not None:
+        from hectr_tpu.control.mpc import mpc_hessian
+        from hectr_tpu.hempc.qp_enc import make_encrypted_pgd
+
+        assert relin_key is not None, "encrypted QP needs a relin key"
+        H = mpc_hessian(ny, nx, nu, horizon,
+                        model.A, model.B, model.C, Q, R)
+        lb = np.tile(np.asarray(bounds.dumin, dtype=np.float64), horizon)
+        ub = np.tile(np.asarray(bounds.dumax, dtype=np.float64), horizon)
+        qp_solve, _ = make_encrypted_pgd(
+            ctx, relin_key, rot_keys, H, lb, ub,
+            k_in=ctx.max_limbs - 2, iters=qp_iters, domain=qp_domain)
     # d2z_matrix zero-embedding into the slots x slots layout
     # (src/hempc.c:187,195 via src/matrices.c:133-141); the gemv
     # closures precompute diagonal plaintexts + stacked keys eagerly
@@ -66,7 +88,11 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
         gA = gemv_A(xdiff)
         gB = gemv_B(udiff)
         du = S.neg(ctx, S.add(ctx, gA, gB))
-        ct_u = S.add(ctx, S.mod_down_pair(ctx, ct_uhat), du)
+        if qp_solve is not None:
+            du = qp_solve(du)                 # encrypted box projection
+        uhat_low = S.Ciphertext(
+            data=ct_uhat.data[..., : du.limbs, :], scale=ct_uhat.scale)
+        ct_u = S.add(ctx, uhat_low, du)
         # --- back across the trust boundary --------------------------
         re, _ = S.decode_ri(ctx, S.decrypt(ctx, keys, ct_u))
         u = re[:nu]
