@@ -89,6 +89,34 @@ class CKKSContext:
         assert k > len(self.base_primes)
         return Fraction(self.data_primes[k - 1] * self.data_primes[k - 2])
 
+    # ---- hybrid key-switch digit grouping ----------------------------
+
+    @property
+    def alpha(self) -> int:
+        """Key-switch digit width (limbs per digit group, 'dnum
+        grouping').  alpha=1 is the classic per-limb decomposition."""
+        return getattr(self.preset, "digit_width", 1)
+
+    def dnum(self, k: int) -> int:
+        """Number of digit groups covering the first k data limbs."""
+        return -(-k // self.alpha)
+
+    @functools.cache
+    def digit_groups(self, k: int) -> tuple[tuple[int, ...], ...]:
+        """The prime content of each digit group at k data limbs (fixed
+        alpha-grid prefixes: group j = limbs [j*alpha, (j+1)*alpha) cap k,
+        so keys generated at max level slice to any level)."""
+        a = self.alpha
+        return tuple(tuple(self.data_primes[j * a:min((j + 1) * a, k)])
+                     for j in range(self.dnum(k)))
+
+    @property
+    def special_product(self) -> int:
+        P = 1
+        for sp in self.special_primes:
+            P *= sp
+        return P
+
     # ---- cached derived tables -------------------------------------
 
     @functools.cache
@@ -110,6 +138,11 @@ class CKKSContext:
         """Tables over first k data limbs + the special primes (the
         extended modulus used inside key switching)."""
         return build_ntt_tables(self.n, self.data_primes[:k] + self.special_primes)
+
+    @functools.cache
+    def tables_special(self) -> NTTTables:
+        """Tables over the special primes only (mod-down input rows)."""
+        return build_ntt_tables(self.n, self.special_primes)
 
     @functools.cache
     def primes_col(self, k: int) -> np.ndarray:
@@ -151,14 +184,27 @@ class CKKSContext:
 def make_context(preset: CKKSPreset) -> CKKSContext:
     n = 1 << preset.logn
     two_n = 2 * n
-    base = tuple(find_ntt_primes(30, 2, two_n))
+    # special primes are drawn FIRST (the largest 30-bit NTT primes):
+    # key-switch noise scales with (digit-group product) / (special
+    # product), so the specials must dominate every width-alpha group
+    special = tuple(find_ntt_primes(30, preset.special_limbs, two_n))
+    base = tuple(find_ntt_primes(30, 2, two_n, avoid=set(special)))
     pairs = find_scale_prime_pairs(preset.scale_bits, preset.mult_depth,
-                                   two_n, avoid=set(base))
+                                   two_n, avoid=set(base) | set(special))
     scale_primes = tuple(q for pair in pairs for q in pair)
-    avoid = set(base) | set(scale_primes)
-    special = tuple(find_ntt_primes(30, preset.special_limbs, two_n,
-                                    avoid=avoid))
-    return CKKSContext(
+    ctx = CKKSContext(
         preset=preset, n=n, slots=preset.slots, depth=preset.mult_depth,
         base_primes=base, scale_primes=scale_primes, special_primes=special,
     )
+    # key-switch noise sanity: every digit-group product must not exceed
+    # the special-prime product (digit magnitude / P is the noise ratio)
+    P = ctx.special_product
+    for grp in ctx.digit_groups(ctx.max_limbs):
+        Qj = 1
+        for q in grp:
+            Qj *= q
+        assert Qj <= P, (
+            f"digit group product {Qj.bit_length()}b exceeds special "
+            f"product {P.bit_length()}b: raise special_limbs or lower "
+            f"digit_width (preset {preset.name})")
+    return ctx

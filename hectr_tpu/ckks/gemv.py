@@ -40,6 +40,7 @@ from hectr_tpu.ckks.keyswitch import (
     decompose_digits,
     eval_permutation,
     galois_element,
+    slice_key,
 )
 from hectr_tpu.ckks.modmath import add_mod, mul_mod
 from hectr_tpu.ckks.scheme import Ciphertext, encode, mul_pt, rescale_pair
@@ -68,15 +69,12 @@ def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict):
     pts = {r: encode(ctx, diags[r], k, scale=pair) for r in active}
     rot_active = [r for r in active if r % s != 0]
 
-    ns = len(ctx.special_primes)
-    rows = np.array(list(range(k)) +
-                    list(range(ctx.max_limbs, ctx.max_limbs + ns)))
     if rot_active:
         perms = jnp.asarray(np.stack([
             eval_permutation(ctx.n, galois_element(r, ctx.n))
             for r in rot_active]))
-        ksk_stack = jnp.stack([rot_keys[r][:k][:, :, rows, :]
-                               for r in rot_active])   # [R, k, 2, k+S, N]
+        ksk_stack = jnp.stack([slice_key(ctx, rot_keys[r], k)
+                               for r in rot_active])   # [R, dnum, 2, k+S, N]
         pt_stack = jnp.stack([pts[r].data for r in rot_active])  # [R, k, N]
     t = ctx.tables(k)
 

@@ -1,33 +1,45 @@
-"""Key switching and Galois rotations (hybrid RNS, one special prime).
+"""Key switching and Galois rotations (hybrid RNS, dnum digit grouping,
+ns >= 1 special primes).
 
 Capability of GPQHE's rotation machinery: `he_genrk` generates one
 evaluation key per rotation amount 0..slots-1 (src/ctr.c:521-532) and
 `he_gemv` consumes them (src/hempc.c:257-259).  Also provides the
 relinearisation key for ct-ct multiplication.
 
-Design (chosen for RNS level-independence):
-  * Digit decomposition: the digits of c are its own *centered per-limb
-    residues* d_j = [c]_{p_j} in (-p_j/2, p_j/2].  The switching key
-    for secret s' -> s has, for digit j,
-        ksk_j = ( -a_j s + e_j + (P mod p_j) * s' * 1[limb = j],  a_j )
-    over the extended modulus Q_max * P.  On data limb t the gadget
-    contributes d_t * P = [c]_{p_t} * P, i.e. P * c * s' residue-wise --
-    an identity that holds for ANY prefix of the data chain, so one key
-    generated at the maximum level serves every level by slicing limb
-    rows.  (The classic Q-hat CRT gadget is level-dependent; this
-    diagonal form trades nothing for it at digit width 1.)
-  * Key switch: extend digits to chain+special, NTT, inner-product with
-    the key, then divide by P with centered rounding (approximate
-    mod-down).  Noise ~ sum_j ||d_j e_j|| / P ~ 2e-13 relative to
-    Delta=2^50 -- inside the reference's observed 1e-11 budget.
-  * Galois automorphisms X -> X^{5^r} are applied in the *evaluation
-    (NTT) domain* as a precomputed index permutation of the slot
-    values' evaluation points (no iNTT round-trip, no sign fixups).
+Design (level-independent diagonal gadget, generalized to digit width
+alpha and special-prime product P = prod of ns primes):
 
-Hoisting: `hoisted_rotations` decomposes the input once and reuses the
-extended NTT-domain digits for every rotation amount (the expensive
-part of rotation is the per-digit base-extension + NTT; the reference's
-he_gemv does `slots` rotations per call, so this is the gemv hot path).
+  * Digit decomposition: data limbs are grouped on a fixed alpha-grid;
+    digit j is the *centered representative* of c modulo the group
+    product Q_j = prod of group-j primes, base-extended to the full
+    chain + specials (hectr_tpu.ckks.basecvt: exact centered CRT with a
+    float64 correction, no bignums).  dnum = ceil(k/alpha) digits.
+  * The switching key for secret s' -> s has, for digit j,
+        ksk_j = ( -a_j s + e_j + gad_j * s',  a_j )   over Q_max * P,
+    with gad_j[t] = (P mod p_t) for limbs t in group j, else 0.  On a
+    group-j limb t the gadget contributes d_j * P = [c]_{p_t} * P
+    residue-wise -- an identity that holds for ANY chain prefix (the
+    last group simply truncates), so ONE key generated at the maximum
+    level serves every level by slicing digit and limb rows.
+  * Key switch: decompose + extend digits, NTT, inner-product with the
+    key (a single uint64 sum + one Barrett pass -- dnum*p < 2^35), then
+    divide by P with centered rounding: iNTT the ns special rows,
+    base-convert [acc]_P to the data chain, subtract, multiply by
+    P^-1 mod p_t.
+  * Noise ~ sum_j ||d_j e_j|| / P with |d_j| <= Q_j/2 <= P/2 (the
+    context orders primes so specials dominate every group product).
+  * Galois automorphisms X -> X^{5^r} are applied in the *evaluation
+    (NTT) domain* as a precomputed index permutation of the evaluation
+    points (no iNTT round-trip, no sign fixups).
+
+Hoisting lives in hectr_tpu.ckks.gemv: the digit decomposition (the
+expensive part: iNTT + base extension + NTT) is computed once per input
+and shared across all rotation amounts of the diagonal method.
+
+Compile-graph discipline: key generation is fully vectorized over
+digits (and vmapped over rotation amounts), so the traced graph is
+one-digit-sized regardless of chain length -- the round-1 per-digit
+Python loops made deep-chain keygen compile for minutes.
 """
 
 from __future__ import annotations
@@ -38,16 +50,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.modmath import add_mod, mul_mod, sub_mod
-from hectr_tpu.ckks.ntt import build_ntt_tables, intt, ntt
-from hectr_tpu.ckks.scheme import (
-    Ciphertext,
-    KeySet,
-    _sample_gauss,
-    _sample_uniform,
-    _signed_to_residues,
+from hectr_tpu.ckks.basecvt import (
+    base_conv_constants,
+    base_convert,
+    grouped_conv_constants,
+    grouped_convert,
 )
+from hectr_tpu.ckks.context import CKKSContext
+from hectr_tpu.ckks.modmath import add_mod, mul_mod, sub_mod, sum_mod
+from hectr_tpu.ckks.ntt import intt, ntt
+from hectr_tpu.ckks.scheme import Ciphertext, KeySet
 
 
 # ---------------------------------------------------------------------------
@@ -94,48 +106,54 @@ def apply_automorphism(data: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _gadget(ctx: CKKSContext) -> np.ndarray:
+    """[dnum, lf, 1] uint32: (P mod p_t) on group-j limbs of digit j."""
+    kd = ctx.max_limbs
+    ns = len(ctx.special_primes)
+    a = ctx.alpha
+    P = ctx.special_product
+    gad = np.zeros((ctx.dnum(kd), kd + ns, 1), dtype=np.uint32)
+    for j in range(ctx.dnum(kd)):
+        for t in range(j * a, min((j + 1) * a, kd)):
+            gad[j, t, 0] = P % ctx.data_primes[t]
+    return gad
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _gen_switching_key(ctx: CKKSContext, sk_full: jnp.ndarray,
                        s_prime: jnp.ndarray, key) -> jnp.ndarray:
-    """Key switching s' -> s.  Returns uint32 [K, 2, K+S, N] (NTT
-    domain over the full data chain + special primes); digit j rows.
+    """Key switching s' -> s.  Returns uint32 [dnum, 2, K+S, N] (NTT
+    domain over the full data chain + special primes).
 
     sk_full, s_prime: [K+S(+...), N] NTT-domain secrets over the full
-    chain (s_prime only needs the data+special rows used here).
-
-    Jitted with the context static: one compile serves relinearisation
-    and every rotation amount (eager execution pays a per-op dispatch
-    round-trip on the remote-TPU path, which made keygen minutes-slow).
+    chain.  Vectorized over digits (no per-digit Python loop) and
+    jitted with the context static: one compile serves relinearisation
+    and every rotation amount.
     """
     kd = ctx.max_limbs
     ns = len(ctx.special_primes)
     lf = kd + ns
-    chain = ctx.data_primes + ctx.special_primes
+    dnum = ctx.dnum(kd)
     t = ctx.tables_ks(kd)
-    P = 1
-    for sp in ctx.special_primes:
-        P *= sp
-    # gadget constant per digit j: (P mod p_j) placed on limb j only
-    gad = np.zeros((kd, lf, 1), dtype=np.uint64)
-    for j in range(kd):
-        gad[j, j, 0] = P % ctx.data_primes[j]
-    gad = jnp.asarray(gad)
+    gad = jnp.asarray(_gadget(ctx))
+    chain = ctx.data_primes + ctx.special_primes
+    pcol = np.array(chain, dtype=np.uint64).reshape(lf, 1)
 
-    keys = jax.random.split(key, 2 * kd)
-    out = []
+    k_a, k_e = jax.random.split(key)
     s_full = sk_full[:lf]
-    pcol = jnp.asarray(np.array(chain, dtype=np.uint64).reshape(lf, 1))
-    for j in range(kd):
-        a = _sample_uniform(keys[2 * j], pcol, ctx.n)
-        e = ntt(_signed_to_residues(_sample_gauss(keys[2 * j + 1], ctx.n),
-                                    pcol), t)
-        b = sub_mod(e, mul_mod(a, s_full, t.p, t.mu, t.k), t.p)
-        gterm = mul_mod(s_prime[:lf],
-                        jnp.broadcast_to(gad[j], (lf, ctx.n)).astype(jnp.uint32),
-                        t.p, t.mu, t.k)
-        b = add_mod(b, gterm, t.p)
-        out.append(jnp.stack([b, a]))
-    return jnp.stack(out)  # [K, 2, K+S, N]
+    a = jax.random.randint(
+        k_a, (dnum, lf, ctx.n), jnp.zeros((lf, 1), dtype=jnp.uint32),
+        jnp.asarray(pcol.astype(np.uint32)), dtype=jnp.uint32)
+    e = jnp.round(3.2 * jax.random.normal(k_e, (dnum, ctx.n),
+                                          dtype=jnp.float64)
+                  ).astype(jnp.int64)
+    e_res = jnp.mod(e[:, None, :], pcol.astype(np.int64)).astype(jnp.uint32)
+    e_ntt = ntt(e_res, t)                                 # [dnum, lf, N]
+    b = sub_mod(e_ntt, mul_mod(a, s_full[None], t.p, t.mu, t.k), t.p)
+    gterm = mul_mod(s_prime[None, :lf], gad, t.p, t.mu, t.k)
+    b = add_mod(b, gterm, t.p)
+    return jnp.stack([b, a], axis=1)                      # [dnum, 2, lf, N]
 
 
 def gen_relin_key(ctx: CKKSContext, keys: KeySet, key) -> jnp.ndarray:
@@ -151,19 +169,23 @@ def gen_rotation_keys(ctx: CKKSContext, keys: KeySet, key,
                       ) -> dict[int, jnp.ndarray]:
     """One switching key per rotation amount (default 0..slots-1,
     mirroring he_genrk's rk[slots] array, src/ctr.c:521-532; r=0 needs
-    no key and is skipped)."""
+    no key and is skipped).  All keys are generated by ONE vmapped
+    executable (round 1's per-rotation jit calls re-dispatched the
+    whole keygen graph per amount)."""
     rotations = list(range(ctx.slots)) if rotations is None else rotations
-    out = {}
-    subkeys = jax.random.split(key, max(len(rotations), 1))
+    rotations = [r for r in rotations if r % ctx.slots != 0]
+    if not rotations:
+        return {}
     lf = ctx.max_limbs + len(ctx.special_primes)
-    for i, r in enumerate(rotations):
-        if r % ctx.slots == 0:
-            continue
-        g = galois_element(r, ctx.n)
-        perm = jnp.asarray(eval_permutation(ctx.n, g))
-        s_rot = apply_automorphism(keys.sk[:lf], perm)
-        out[r] = _gen_switching_key(ctx, keys.sk, s_rot, subkeys[i])
-    return out
+    subkeys = jax.random.split(key, len(rotations))
+    s_rots = jnp.stack([
+        apply_automorphism(
+            keys.sk[:lf],
+            jnp.asarray(eval_permutation(ctx.n, galois_element(r, ctx.n))))
+        for r in rotations])                              # [R, lf, N]
+    ks = jax.vmap(lambda sp, k: _gen_switching_key(ctx, keys.sk, sp, k)
+                  )(s_rots, subkeys)
+    return {r: ks[i] for i, r in enumerate(rotations)}
 
 
 # ---------------------------------------------------------------------------
@@ -173,40 +195,43 @@ def gen_rotation_keys(ctx: CKKSContext, keys: KeySet, key,
 
 @functools.lru_cache(maxsize=None)
 def _ks_constants(ctx: CKKSContext, k: int):
-    """Constants for switching at k data limbs: chain primes column,
-    P^-1 mod p_t (with Shoup), and the special-prime column."""
+    """(P^-1 mod p_t, Shoup companion) for the first k data limbs."""
     from hectr_tpu.ckks.modmath import shoup
 
-    ns = len(ctx.special_primes)
-    P = 1
-    for sp in ctx.special_primes:
-        P *= sp
+    P = ctx.special_product
     pinv = np.array([pow(P % p, -1, p) for p in ctx.data_primes[:k]],
                     dtype=np.uint64).reshape(k, 1)
     pj = np.array(ctx.data_primes[:k], dtype=np.uint64).reshape(k, 1)
-    chain = np.array(ctx.data_primes[:k] + ctx.special_primes,
-                     dtype=np.uint64).reshape(k + ns, 1)
     # numpy, not device arrays: this cache may first fill inside a
     # trace (see hectr_tpu/ckks/ntt.py build_ntt_tables note)
-    return pinv, shoup(pinv, pj), chain
+    return pinv, shoup(pinv, pj)
+
+
+def slice_key(ctx: CKKSContext, ksk: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Slice a max-level switching key [dnum_max, 2, K_max+S, N] to a
+    k-limb operand: first dnum(k) digits, data rows [0,k) + specials."""
+    ns = len(ctx.special_primes)
+    rows = np.concatenate([np.arange(k),
+                           np.arange(ctx.max_limbs, ctx.max_limbs + ns)])
+    return ksk[:ctx.dnum(k)][:, :, jnp.asarray(rows), :]
 
 
 def decompose_digits(ctx: CKKSContext, c1: jnp.ndarray) -> jnp.ndarray:
     """NTT-domain poly [k, N] -> extended NTT-domain digits
-    [k, k+S, N]: per-limb centered residues base-extended to the
+    [dnum(k), k+S, N]: per-group centered residues base-extended to the
     chain+special modulus.  This is the hoistable part of rotation."""
     k = c1.shape[-2]
-    t = ctx.tables(k)
     tks = ctx.tables_ks(k)
-    _, _, chain = _ks_constants(ctx, k)
-    coeff = intt(c1, t)                                   # [k, N]
-    pcol = ctx.primes_col(k)                              # [k, 1]
-    centered = jnp.where(coeff.astype(jnp.int64) > (pcol // 2).astype(jnp.int64),
-                         coeff.astype(jnp.int64) - pcol.astype(jnp.int64),
-                         coeff.astype(jnp.int64))         # [k, N] signed
-    # extend digit j to every chain limb t: [k, k+S, N]
-    ext = jnp.mod(centered[:, None, :], chain.astype(jnp.int64)[None]
-                  ).astype(jnp.uint32)
+    coeff = intt(c1, ctx.tables(k))                       # [k, N]
+    dnum, alpha = ctx.dnum(k), ctx.alpha
+    pad = dnum * alpha - k
+    if pad:
+        coeff = jnp.concatenate(
+            [coeff, jnp.zeros((pad, ctx.n), dtype=jnp.uint32)], axis=0)
+    grouped = coeff.reshape(dnum, alpha, ctx.n)
+    consts = grouped_conv_constants(
+        ctx.digit_groups(k), ctx.data_primes[:k] + ctx.special_primes)
+    ext = grouped_convert(grouped, consts)                # [dnum, k+S, N]
     return ntt(ext, tks)
 
 
@@ -214,43 +239,26 @@ def _inner_product(ctx: CKKSContext, digits: jnp.ndarray,
                    ksk: jnp.ndarray, k: int,
                    sliced: bool = False) -> jnp.ndarray:
     """sum_j digits[j] * ksk[j] over the extended modulus.
-    digits [k, k+S, N]; ksk rows sliced to this level -> [2, k+S, N].
-    Pass sliced=True when ksk is already [k, 2, k+S, N] (pre-sliced at
-    closure-build time, e.g. by gemv's stacked scan)."""
-    ns = len(ctx.special_primes)
+    digits [dnum, k+S, N]; ksk sliced to this level -> [2, k+S, N].
+    Pass sliced=True when ksk is already [dnum, 2, k+S, N]."""
     tks = ctx.tables_ks(k)
-    if sliced:
-        ksk_l = ksk
-    else:
-        rows = list(range(k)) + list(range(ctx.max_limbs,
-                                           ctx.max_limbs + ns))
-        ksk_l = ksk[:k][:, :, jnp.asarray(rows), :]       # [k, 2, k+S, N]
+    ksk_l = ksk if sliced else slice_key(ctx, ksk, k)
     prod = mul_mod(digits[:, None, :, :], ksk_l, tks.p, tks.mu, tks.k)
-    acc = prod[0]
-    for j in range(1, k):
-        acc = add_mod(acc, prod[j], tks.p)
-    return acc                                            # [2, k+S, N]
+    return sum_mod(prod, 0, tks.p, tks.mu, tks.k)         # [2, k+S, N]
 
 
 def _mod_down_special(ctx: CKKSContext, acc: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Divide the extended result by P: (acc_t - [acc]_P) * P^-1 mod p_t
-    with centered [acc]_P.  acc [2, k+S, N] -> [2, k, N]."""
+    """Divide the extended result by P = prod(special primes):
+    (acc_t - [acc]_P) * P^-1 mod p_t with centered [acc]_P.
+    acc [..., k+S, N] -> [..., k, N]."""
     from hectr_tpu.ckks.modmath import mul_mod_shoup
 
-    ns = len(ctx.special_primes)
-    assert ns == 1, "multi-special-prime mod-down not yet implemented"
-    pinv, pinv_sh, _ = _ks_constants(ctx, k)
+    pinv, pinv_sh = _ks_constants(ctx, k)
     t = ctx.tables(k)
-    sp = ctx.special_primes[0]
-    row = ctx.tables_row(ctx.max_limbs)                   # special prime row
-    last = intt(acc[:, k:, :], row)                       # [2, 1, N] coeff
-    centered = jnp.where(last.astype(jnp.int64) > sp // 2,
-                         last.astype(jnp.int64) - sp,
-                         last.astype(jnp.int64))
-    ext = jnp.mod(centered, ctx.primes_col(k).astype(jnp.int64)
-                  ).astype(jnp.uint32)                    # [2, k, N]
-    ext = ntt(ext, t)
-    diff = sub_mod(acc[:, :k, :], ext, t.p)
+    last = intt(acc[..., k:, :], ctx.tables_special())    # [..., ns, N] coeff
+    consts = base_conv_constants(ctx.special_primes, ctx.data_primes[:k])
+    ext = ntt(base_convert(last, consts), t)              # [..., k, N]
+    diff = sub_mod(acc[..., :k, :], ext, t.p)
     return mul_mod_shoup(diff, jnp.broadcast_to(pinv, (k, 1)),
                          jnp.broadcast_to(pinv_sh, (k, 1)), t.p)
 
@@ -287,42 +295,12 @@ def rotate(ctx: CKKSContext, ct: Ciphertext, r: int,
         scale=ct.scale)
 
 
-def hoisted_rotations(ctx: CKKSContext, ct: Ciphertext, rotations: list[int],
-                      rot_keys: dict[int, jnp.ndarray]) -> list[Ciphertext]:
-    """All requested rotations of ct, decomposing the input only once.
-
-    Rotation r applies sigma_r to both the c0 part and the *extended
-    digits* (digit decomposition commutes with Galois automorphisms
-    coefficient-wise), so the iNTT + base-extension + NTT of the digits
-    -- the dominant cost -- is shared across all rotations.
-    """
-    k = ct.limbs
-    t = ctx.tables(k)
-    digits = decompose_digits(ctx, ct.data[1])            # shared
-    out = []
-    for r in rotations:
-        r = r % ctx.slots
-        if r == 0:
-            out.append(ct)
-            continue
-        g = galois_element(r, ctx.n)
-        perm = jnp.asarray(eval_permutation(ctx.n, g))
-        c0r = apply_automorphism(ct.data[0], perm)
-        digits_r = apply_automorphism(digits, perm)
-        acc = _inner_product(ctx, digits_r, rot_keys[r], k)
-        ks = _mod_down_special(ctx, acc, k)
-        out.append(Ciphertext(
-            data=jnp.stack([add_mod(c0r, ks[0], t.p), ks[1]]),
-            scale=ct.scale))
-    return out
-
-
 def mul_ct(ctx: CKKSContext, a: Ciphertext, b: Ciphertext,
            relin_key: jnp.ndarray) -> Ciphertext:
     """ct-ct multiply + relinearise (scales multiply; rescale
-    separately).  Not used by the encrypted controller (unconstrained
-    MPC needs only ct-pt products) but part of the library capability
-    (BASELINE.json config #3)."""
+    separately).  Not used by the unconstrained encrypted controller
+    (only ct-pt products, src/hempc.c:257-265) but required by the
+    encrypted QP and the library capability (BASELINE.json config #3)."""
     assert a.limbs == b.limbs
     k = a.limbs
     t = ctx.tables(k)

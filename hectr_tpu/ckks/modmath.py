@@ -85,6 +85,15 @@ def mul_mod(a, b, p, mu, k):
     return _barrett(prod, p, mu, k).astype(U32)
 
 
+def sum_mod(a, axis, p, mu, k):
+    """Sum already-reduced residues along `axis`, then one Barrett pass.
+    Valid while (axis size) * p < 2^60 -- i.e. any realistic digit
+    count.  One reduction for the whole key-switch inner product instead
+    of a chain of conditional-subtract adds."""
+    s = jnp.sum(a.astype(U64), axis=axis)
+    return _barrett(s, p, mu, k).astype(U32)
+
+
 def mul_mod_shoup(a, w, w_shoup, p):
     """(a * w) mod p with precomputed w' = floor(w*2^32/p).
 

@@ -56,7 +56,12 @@ class CKKSPreset:
     scale_bits: int         # log2(Delta)
     limb_bits: int          # target RNS prime size (< 31 for uint32 path)
     mult_depth: int         # supported ct levels (in *rescale groups*)
-    special_limbs: int = 1  # key-switch special primes
+    special_limbs: int = 1  # key-switch special primes (ns)
+    digit_width: int = 1    # key-switch digit group width in limbs
+                            # (hybrid 'dnum grouping'; the key-switch
+                            # inner product has ceil(L/digit_width)
+                            # terms; noise needs the special-prime
+                            # product to dominate every group product)
 
 
 # The reference encrypted-MPC parameters: logn=12, q=2^109, Delta=2^50,
@@ -69,15 +74,17 @@ REFERENCE_HEMPC = CKKSPreset(
 )
 
 # BASELINE.json config #3: enc/dec + ct-ct mult/rescale at logN=14, L=10.
+# Two special primes + width-2 digit grouping halve the key-switch
+# inner-product term count vs the classic per-limb decomposition.
 MEDIUM = CKKSPreset(
     name="medium", logn=14, slots=64, scale_bits=50,
-    limb_bits=25, mult_depth=5,
+    limb_bits=25, mult_depth=5, special_limbs=2, digit_width=2,
 )
 
 # BASELINE.json flagship: encrypted MPC at logN=15, L=20.
 FLAGSHIP = CKKSPreset(
     name="flagship", logn=15, slots=16, scale_bits=50,
-    limb_bits=25, mult_depth=10,
+    limb_bits=25, mult_depth=10, special_limbs=2, digit_width=2,
 )
 
 PRESETS = {p.name: p for p in (REFERENCE_HEMPC, MEDIUM, FLAGSHIP)}
