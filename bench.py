@@ -126,30 +126,65 @@ def bench_ctct_mult_logn14() -> float:
     return len(cas) / (time.perf_counter() - t0)
 
 
-def bench_hempc_step() -> float:
-    """Encrypted MPC regulator steps/sec at the reference parameters
-    (logn=12, slots=16, Delta=2^50) -- the headline capability.
+def _bench_regulator_steps(preset, iters: int = 20) -> float:
+    """Encrypted MPC regulator steps/sec at the given CKKS preset.
     Chained: each step's control output feeds the next step's uhat, so
     every call is live (closed-loop realistic AND memoization-proof)."""
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import entry
+    from __graft_entry__ import _cstr_model_plant
+    from hectr_tpu.ckks import scheme as S
+    from hectr_tpu.ckks.context import make_context
+    from hectr_tpu.ckks.keyswitch import gen_rotation_keys
+    from hectr_tpu.hempc import hempc_init_state, make_hempc_regulator
 
-    fn, args = entry()
+    ctx = make_context(preset)
+    keys = S.keygen(ctx, jax.random.PRNGKey(0))
+    rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
+    model, plant = _cstr_model_plant()
+    reg = make_hempc_regulator(ctx, keys, rot_keys, model, plant, horizon=4)
+
+    def fn(key, xhat, uhat, xr, ur):
+        u, _ = reg(hempc_init_state(key), xhat, uhat, xr, ur)
+        return u
+
     f = jax.jit(fn)
-    key, xhat, uhat, xr, ur = args
-    r = f(*args)
+    key = jax.random.PRNGKey(7)
+    xhat, uhat = jnp.zeros(3), jnp.zeros(2)
+    xr, ur = jnp.zeros(3), jnp.zeros(2)
+    r = f(key, xhat, uhat, xr, ur)
     jax.block_until_ready(r)
-    iters = 20
-    xs = [jnp.asarray(xhat) + 1e-9 * (i + 1) for i in range(iters)]
+    xs = [xhat + 1e-9 * (i + 1) for i in range(iters)]
     jax.block_until_ready(xs)
     t0 = time.perf_counter()
-    u = jnp.asarray(uhat)
+    u = uhat
     for i in range(iters):
         u = f(key, xs[i], u, xr, ur)
     jax.block_until_ready(u)
     return iters / (time.perf_counter() - t0)
+
+
+def bench_hempc_step() -> float:
+    """Steps/sec at the reference parameters (logn=12, slots=16,
+    Delta=2^50) -- reference-parity capability."""
+    from hectr_tpu.config import REFERENCE_HEMPC
+
+    return _bench_regulator_steps(REFERENCE_HEMPC)
+
+
+def bench_hempc_step_flagship() -> float:
+    """Steps/sec at the FLAGSHIP scale target: logN=15, L=20 scale
+    limbs, hybrid key switching (2 specials, width-2 digits) --
+    BASELINE.json configs[4]."""
+    from hectr_tpu.config import FLAGSHIP
+
+    return _bench_regulator_steps(FLAGSHIP, iters=10)
+
+
+# Round-1 recorded values (BENCH_r01.json) -- vs_baseline is measured
+# round-over-round against these.
+_R01 = {"ntt_logn15": 1259567.46, "hempc_step_logn12": 251.87}
 
 
 def main():
@@ -158,28 +193,33 @@ def main():
     # generous per-section cost estimates (first-compile dominated);
     # skip a section if the remaining budget cannot fit it so the JSON
     # line always prints
-    est = {"ntt_logn15": 60, "ctct_mult_logn14": 420,
-           "hempc_step_logn12": 240}
+    est = {"ntt_logn15": 60, "ctct_mult_logn14": 200,
+           "hempc_step_logn12": 180, "hempc_step_logn15_L20": 280}
     for name, fn in [("ntt_logn15", bench_ntt_logn15),
                      ("hempc_step_logn12", bench_hempc_step),
-                     ("ctct_mult_logn14", bench_ctct_mult_logn14)]:
+                     ("ctct_mult_logn14", bench_ctct_mult_logn14),
+                     ("hempc_step_logn15_L20", bench_hempc_step_flagship)]:
         if _remaining() < est[name]:
             print(f"[bench] {name} SKIPPED (budget: {_remaining():.0f}s "
                   f"left, needs ~{est[name]}s)", file=sys.stderr)
             continue
         try:
+            t_sec = time.time()
             results[name] = fn()
-            print(f"[bench] {name}: {results[name]:.1f}/s", file=sys.stderr)
+            print(f"[bench] {name}: {results[name]:.1f}/s "
+                  f"({time.time()-t_sec:.0f}s)", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
     print(f"[bench] total {time.time()-t_start:.0f}s", file=sys.stderr)
 
     primary = results.get("ntt_logn15", 0.0)
+    vs = {k: round(results[k] / _R01[k], 3) for k in _R01 if k in results}
     print(json.dumps({
         "metric": "negacyclic limb-NTTs/sec @ logN=15 (single chip)",
         "value": round(primary, 1),
         "unit": "NTT/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": vs.get("ntt_logn15", 1.0),
+        "vs_round1": vs,
         "secondary": {k: round(v, 2) for k, v in results.items()},
     }))
 

@@ -28,6 +28,8 @@ with
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -44,6 +46,16 @@ from hectr_tpu.ckks.keyswitch import (
 )
 from hectr_tpu.ckks.modmath import add_mod, mul_mod
 from hectr_tpu.ckks.scheme import Ciphertext, encode, mul_pt, rescale_pair
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _encode_batch(ctx: CKKSContext, vri: jnp.ndarray, k: int, scale):
+    """Encode a batch of slot vectors ([R, 2, s] real pairs) into
+    plaintext residue arrays [R, k, N] in ONE compiled graph (the eager
+    per-diagonal path dominated gemv closure-build time)."""
+    return jax.vmap(
+        lambda vr, vi: encode(ctx, (vr, vi), k, scale=scale).data
+    )(vri[:, 0], vri[:, 1])
 
 
 def diagonals(M: np.ndarray, slots: int) -> np.ndarray:
@@ -66,7 +78,12 @@ def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict):
     if not active:
         active = [0]
     pair = ctx.pair_scale(k)
-    pts = {r: encode(ctx, diags[r], k, scale=pair) for r in active}
+    vri = jnp.asarray(np.stack([
+        np.stack([diags[r].real, diags[r].imag]) for r in active]))
+    pt_batch = _encode_batch(ctx, vri, k, pair)           # [R, k, N]
+    from hectr_tpu.ckks.scheme import Plaintext
+    pts = {r: Plaintext(data=pt_batch[i], scale=pair)
+           for i, r in enumerate(active)}
     rot_active = [r for r in active if r % s != 0]
 
     if rot_active:

@@ -9,7 +9,10 @@ Reduction strategy (designed for TPU):
   * Barrett with per-limb (mu, shift): q = ((ab >> (k-2)) * mu) >> (k+2)
     with mu = floor(4^k / p), k = bitlen(p).  All intermediates < 2^63;
     at most 2 correction subtractions (proved < 3p; tested
-    exhaustively against Python ints).
+    exhaustively against Python ints).  DOMAIN: ab < ~4^k, i.e. both
+    operands reduced mod p -- for cross-modulus products (a residue of
+    a LARGER prime times a constant mod a smaller one) use
+    mul_mod_shoup_wide, whose bound holds for any a < 2^32.
   * Shoup multiplication for *precomputed* constants (NTT twiddles,
     key-switch hooks): r = w*a - floor(a*w'/2^32)*p with
     w' = floor(w*2^32/p) -- one fewer wide multiply on the hot path.
@@ -103,6 +106,22 @@ def mul_mod_shoup(a, w, w_shoup, p):
     a64 = a.astype(U64)
     q = (a64 * w_shoup) >> jnp.uint64(32)
     r = a64 * w - q * p
+    return jnp.where(r >= p, r - p, r).astype(U32)
+
+
+def mul_mod_shoup_wide(a, w, w_shoup, p):
+    """(a * w) mod p with w' = floor(w*2^32/p), for a < 2^32 NOT
+    necessarily reduced mod p (base conversion multiplies residues of
+    one prime by constants mod a *different, possibly smaller* prime --
+    Barrett mul_mod is out of domain there: its bound needs ab < ~p^2).
+
+    Error analysis: q >= a*w/p - a/2^32 - 1, so r < p*(a/2^32 + 2)
+    < 3p for a < 2^32 -> two conditional subtracts suffice.
+    """
+    a64 = a.astype(U64)
+    q = (a64 * w_shoup) >> jnp.uint64(32)
+    r = a64 * w - q * p
+    r = jnp.where(r >= p, r - p, r)
     return jnp.where(r >= p, r - p, r).astype(U32)
 
 

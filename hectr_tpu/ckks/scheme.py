@@ -306,3 +306,10 @@ def mod_down_pair(ctx: CKKSContext, a: Ciphertext) -> Ciphertext:
     """Drop the trailing scale pair WITHOUT dividing -- GPQHE
     he_moddown semantics (src/hempc.c:265): level alignment only."""
     return Ciphertext(data=a.data[..., :-2, :], scale=a.scale)
+
+
+def mod_down_to(ctx: CKKSContext, a: Ciphertext, k: int) -> Ciphertext:
+    """Drop trailing limbs down to k without dividing (repeated
+    he_moddown): level alignment for operands deeper than needed."""
+    assert a.limbs >= k, (a.limbs, k)
+    return Ciphertext(data=a.data[..., :k, :], scale=a.scale)

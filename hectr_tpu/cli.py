@@ -94,7 +94,7 @@ def cmd_cstr_mpc(args, encrypted=False):
         from hectr_tpu.ckks import scheme as S
         from hectr_tpu.ckks.context import make_context
         from hectr_tpu.ckks.keyswitch import gen_rotation_keys
-        from hectr_tpu.hempc import make_hempc_regulator
+        from hectr_tpu.hempc import hempc_init_state, make_hempc_regulator
 
         preset = CKKSPreset(name="cli", logn=args.logn, slots=args.slots,
                             scale_bits=args.scale_bits, limb_bits=25,
@@ -106,8 +106,15 @@ def cmd_cstr_mpc(args, encrypted=False):
             rks = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(args.seed + 1))
         reg = make_hempc_regulator(ctx, keys, rks, model, plant, N // 10)
         with timed("closed-loop simulate"):
-            x, u = simulate(model, plant, p_seq, 1.0, N, regulator=reg,
-                            regulator_state=jax.random.PRNGKey(args.seed + 2))
+            x, u, (_, canary) = simulate(
+                model, plant, p_seq, 1.0, N, regulator=reg,
+                regulator_state=hempc_init_state(
+                    jax.random.PRNGKey(args.seed + 2)),
+                return_state=True)
+        # reference asserts imag residue < 1e-5 on every decode
+        # (src/ctr.c:493-494); the canary is the max across the loop
+        assert float(canary) < 1e-5, float(canary)
+        print(f"noise canary max|Im(decode)| = {float(canary):.3e}")
     else:
         with timed("closed-loop simulate"):
             x, u = simulate(model, plant, p_seq, 1.0, N)

@@ -105,9 +105,12 @@ def simulate(
     regulator_state: Any = None,
     horizon: int | None = None,
     rsp: np.ndarray | None = None,
+    return_state: bool = False,
 ):
     """Run the closed loop N steps; returns positional (x [N+1, nx],
-    u [N, nu]).
+    u [N, nu]), plus the final regulator state if `return_state` (the
+    encrypted regulator threads a noise canary through it -- parity
+    with the reference's per-decode assert, src/ctr.c:493-494).
 
     Parity: reference ctr_simulate (src/ctr.c:363-443) /
     hectr_simulate (src/ctr.c:500-618):
@@ -164,4 +167,6 @@ def simulate(
 
     x_all = jnp.vstack([x_traj, x_final[None, :]]) + xs[None, :]
     u_all = u_traj + us[None, :]
+    if return_state:
+        return np.asarray(x_all), np.asarray(u_all), carry[4]
     return np.asarray(x_all), np.asarray(u_all)

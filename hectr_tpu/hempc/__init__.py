@@ -15,6 +15,6 @@ leaves through `dec` -- the trust boundary crosses exactly twice per
 step (src/ctr.c:587-590).
 """
 
-from hectr_tpu.hempc.regulator import make_hempc_regulator
+from hectr_tpu.hempc.regulator import hempc_init_state, make_hempc_regulator
 
-__all__ = ["make_hempc_regulator"]
+__all__ = ["hempc_init_state", "make_hempc_regulator"]

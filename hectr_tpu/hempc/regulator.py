@@ -29,10 +29,20 @@ from hectr_tpu.control.simulate import LinearModel, Plant
 from hectr_tpu.control.stages import weighting_matrices
 
 
+def hempc_init_state(key):
+    """Initial regulator state: (PRNG key, imaginary-residue canary).
+
+    The canary accumulates max |Im(decode)| across the loop -- the
+    reference asserts it < 1e-5 on EVERY decode (src/ctr.c:493-494);
+    here it is carried through the scan jit-compatibly and asserted by
+    the caller after the loop."""
+    return (key, jnp.zeros((), jnp.float64))
+
+
 def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
                          model: LinearModel, plant: Plant, horizon: int,
                          bounds=None, relin_key=None, qp_iters: int = 2,
-                         qp_domain: float = 2.0):
+                         qp_degree: int = 7, qp_input_bound=3.0):
     """Build the encrypted regulator closure.  The regulator state is a
     jax PRNG key (fresh encryption randomness every step).
 
@@ -48,6 +58,7 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
     K_A, K_B = mpc_gains(ny, nx, nu, horizon, model.A, model.B, model.C, Q, R)
 
     qp_solve = None
+    gain_scale = None
     if bounds is not None and bounds.dumin is not None:
         from hectr_tpu.control.mpc import mpc_hessian
         from hectr_tpu.hempc.qp_enc import make_encrypted_pgd
@@ -57,13 +68,22 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
                         model.A, model.B, model.C, Q, R)
         lb = np.tile(np.asarray(bounds.dumin, dtype=np.float64), horizon)
         ub = np.tile(np.asarray(bounds.dumax, dtype=np.float64), horizon)
+        # fold the QP's w-space normalization diag(1/hw) into the gain
+        # matrices (free: plaintext) -- input_kind="w_scaled" saves a
+        # rescale pair vs normalizing inside the solver
+        gain_scale = 2.0 / (ub - lb)
         qp_solve, _ = make_encrypted_pgd(
             ctx, relin_key, rot_keys, H, lb, ub,
-            k_in=ctx.max_limbs - 2, iters=qp_iters, domain=qp_domain)
+            k_in=ctx.max_limbs - 2, iters=qp_iters,
+            degree=qp_degree, input_bound=qp_input_bound,
+            input_kind="w_scaled")
     # d2z_matrix zero-embedding into the slots x slots layout
     # (src/hempc.c:187,195 via src/matrices.c:133-141); the gemv
     # closures precompute diagonal plaintexts + stacked keys eagerly
     k_top = ctx.max_limbs
+    if gain_scale is not None:
+        K_A = gain_scale[:, None] * K_A
+        K_B = gain_scale[:, None] * K_B
     gemv_A = make_gemv(ctx, K_A, k_top, rot_keys)
     gemv_B = make_gemv(ctx, K_B, k_top, rot_keys)
 
@@ -76,7 +96,7 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
         return S.encrypt(ctx, keys, S.encode(ctx, (zre, zim), k_top), key)
 
     def regulator(state, xhat, uhat, xr, ur):
-        key = state
+        key, canary = state
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         ct_xhat = enc_vec(xhat, k1)
         ct_uhat = enc_vec(uhat, k2)
@@ -94,8 +114,10 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
             data=ct_uhat.data[..., : du.limbs, :], scale=ct_uhat.scale)
         ct_u = S.add(ctx, uhat_low, du)
         # --- back across the trust boundary --------------------------
-        re, _ = S.decode_ri(ctx, S.decrypt(ctx, keys, ct_u))
+        re, im = S.decode_ri(ctx, S.decrypt(ctx, keys, ct_u))
         u = re[:nu]
-        return u, key
+        # imaginary-residue noise canary (src/ctr.c:493-494 parity)
+        canary = jnp.maximum(canary, jnp.max(jnp.abs(im)))
+        return u, (key, canary)
 
     return regulator

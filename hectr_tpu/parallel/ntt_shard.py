@@ -50,9 +50,10 @@ def _twiddle_at(table, table_sh, idx):
 
 def _local_ct_stages(chunk, t: NTTTables, s, D: int, C: int):
     """Remaining forward (CT) stages, all-local, with shard-offset
-    twiddle slices.  chunk [L, C]; s = shard index (traced)."""
+    twiddle slices.  chunk [..., L, C] (L = t's limb count, arbitrary
+    leading batch dims); s = shard index (traced)."""
     n = t.n
-    L = chunk.shape[-2]
+    lead = chunk.shape[:-1]
     p = t.p32
     half = C
     m = n // (2 * C)  # groups at the first local stage
@@ -64,23 +65,22 @@ def _local_ct_stages(chunk, t: NTTTables, s, D: int, C: int):
             jnp.asarray(t.psi_rev), m + s * loc, loc, axis=1)
         Ssh = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(t.psi_rev_shoup), m + s * loc, loc, axis=1)
-        x = chunk.reshape(L, loc, 2 * half)
+        x = chunk.reshape(lead + (loc, 2 * half))
         u = x[..., :half]
         v = x[..., half:]
         pcol = p[..., None]
         v = mul_mod_shoup_u32(v, S[..., None], Ssh[..., None], pcol)
         chunk = jnp.concatenate(
             [add_mod_u32(u, v, pcol), sub_mod_u32(u, v, pcol)],
-            axis=-1).reshape(L, C)
+            axis=-1).reshape(lead + (C,))
     return chunk
 
 
 def _local_gs_stages(chunk, t: NTTTables, s, D: int, C: int):
     """Leading inverse (GS) stages, all-local (half = 1 .. C/2)."""
-    L = chunk.shape[-2]
+    lead = chunk.shape[:-1]
     p = t.p32
     half = 1
-    h = C // 2 * (t.n // C)  # total groups at first inverse stage = n/2
     # iterate half = 1, 2, ..., C/2 ; groups h = n/(2*half)
     while half < C:
         h = t.n // (2 * half)
@@ -89,23 +89,25 @@ def _local_gs_stages(chunk, t: NTTTables, s, D: int, C: int):
             jnp.asarray(t.psi_inv_rev), h + s * loc, loc, axis=1)
         Ssh = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(t.psi_inv_rev_shoup), h + s * loc, loc, axis=1)
-        x = chunk.reshape(L, loc, 2 * half)
+        x = chunk.reshape(lead + (loc, 2 * half))
         u = x[..., :half]
         v = x[..., half:]
         pcol = p[..., None]
         ssum = add_mod_u32(u, v, pcol)
         d = mul_mod_shoup_u32(sub_mod_u32(u, v, pcol),
                               S[..., None], Ssh[..., None], pcol)
-        chunk = jnp.concatenate([ssum, d], axis=-1).reshape(L, C)
+        chunk = jnp.concatenate([ssum, d], axis=-1).reshape(lead + (C,))
         half *= 2
     return chunk
 
 
-def make_sharded_ntt(t: NTTTables, mesh: Mesh, axis: str = "limb"):
-    """Build (ntt_fn, intt_fn) operating on [L, N] arrays whose LAST
-    axis is sharded over `axis` of the mesh.  D must divide N with
-    chunk size >= 2 and D a power of two."""
-    D = mesh.shape[axis]
+def local_ntt_fns(t: NTTTables, axis: str, D: int):
+    """(fwd_local, inv_local) callables for use INSIDE a shard_map over
+    `axis` with D shards: chunk [..., L, C] -> [..., L, C] where L is
+    t's limb count and C = N/D the local coefficient chunk.  Exposed
+    separately from make_sharded_ntt so whole scheme ops (rescale,
+    negacyclic mul, key-switch stages) can fuse several transforms into
+    ONE shard_map program instead of bouncing through device_put."""
     n = t.n
     C = n // D
     assert D & (D - 1) == 0 and C >= 2, (D, C)
@@ -152,6 +154,25 @@ def make_sharded_ntt(t: NTTTables, mesh: Mesh, axis: str = "limb"):
             half *= 2
         return mul_mod_shoup_u32(chunk, jnp.asarray(t.n_inv),
                                  jnp.asarray(t.n_inv_shoup), p32)
+
+    return fwd_local, inv_local
+
+
+def ppermute_bytes_per_transform(n: int, limbs: int, D: int) -> int:
+    """Analytic ICI traffic of one sharded [limbs, n] transform:
+    log2(D) chunk exchanges x (n/D) uint32 coefficients x limbs,
+    bidirectional counted once per device."""
+    if D <= 1:
+        return 0
+    return int(np.log2(D)) * (n // D) * 4 * limbs
+
+
+def make_sharded_ntt(t: NTTTables, mesh: Mesh, axis: str = "limb"):
+    """Build (ntt_fn, intt_fn) operating on [L, N] arrays whose LAST
+    axis is sharded over `axis` of the mesh.  D must divide N with
+    chunk size >= 2 and D a power of two."""
+    D = mesh.shape[axis]
+    fwd_local, inv_local = local_ntt_fns(t, axis, D)
 
     spec = P(None, axis)
     fwd = jax.jit(jax.shard_map(fwd_local, mesh=mesh,

@@ -1,0 +1,88 @@
+"""Coefficient-sharded scheme ops: bit-exact parity with the
+single-device scheme on the 8-virtual-device CPU mesh (SURVEY.md §4
+multi-chip test strategy).  The integration mandated by round-1 review:
+scheme ops (rescale) and the full negacyclic product consuming
+coeff-sharded operands end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from hectr_tpu.config import CKKSPreset
+from hectr_tpu.ckks import scheme as S
+from hectr_tpu.ckks.context import make_context
+from hectr_tpu.ckks.modmath import mul_mod
+from hectr_tpu.ckks.ntt import intt, ntt
+from hectr_tpu.parallel.coeff_ops import CoeffOps
+
+PRESET = CKKSPreset(name="coeff-test", logn=12, slots=16, scale_bits=50,
+                    limb_bits=25, mult_depth=2)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return make_context(PRESET)
+
+
+@pytest.fixture(scope="module", params=[2, 8])
+def ops(ctx, request):
+    d = request.param
+    mesh = Mesh(np.array(jax.devices()[:d]), ("coeff",))
+    return CoeffOps(ctx, mesh)
+
+
+def _rand_poly(ctx, k, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, np.array(ctx.data_primes[:k]).reshape(-1, 1),
+                        size=(k, ctx.n)).astype(np.uint32)
+
+
+def test_sharded_chain_ntt_roundtrip(ctx, ops):
+    k = ctx.max_limbs
+    a = _rand_poly(ctx, k, 0)
+    t = ctx.tables(k)
+    got = np.asarray(ops.ntt(jnp.asarray(a)))
+    np.testing.assert_array_equal(got, np.asarray(ntt(jnp.asarray(a), t)))
+    back = np.asarray(ops.intt(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, a)
+
+
+def test_sharded_negacyclic_mul_matches_unsharded(ctx, ops):
+    k = ctx.max_limbs
+    a = _rand_poly(ctx, k, 1)
+    b = _rand_poly(ctx, k, 2)
+    t = ctx.tables(k)
+    want = np.asarray(intt(mul_mod(ntt(jnp.asarray(a), t),
+                                   ntt(jnp.asarray(b), t),
+                                   t.p, t.mu, t.k), t))
+    got = np.asarray(ops.negacyclic_mul(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_rescale_bit_exact_on_real_ciphertext(ctx, ops):
+    """The REAL scheme op on a REAL ciphertext: encrypt, coeff-shard,
+    rescale on the mesh, compare bit-for-bit with the single-device
+    rescale, then decrypt + decode and check the value."""
+    keys = S.keygen(ctx, jax.random.PRNGKey(10))
+    rng = np.random.default_rng(11)
+    v = rng.uniform(-2, 2, ctx.slots)
+    pt = S.encode(ctx, (jnp.asarray(v), jnp.zeros(ctx.slots)),
+                  ctx.max_limbs)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(12))
+    # ct x pt product then composite rescale (the gemv inner pattern)
+    pt2 = S.encode(ctx, (2.0 * jnp.ones(ctx.slots), jnp.zeros(ctx.slots)),
+                   ctx.max_limbs, scale=ctx.pair_scale(ctx.max_limbs))
+    prod = S.mul_pt(ctx, ct, pt2)
+
+    want = S.rescale_pair(ctx, prod)
+    got = ops.rescale_pair(prod)
+    assert got.scale == want.scale
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(want.data))
+
+    re, im = S.decode_ri(ctx, S.decrypt(ctx, keys, got))
+    np.testing.assert_allclose(np.asarray(re), 2.0 * v, atol=1e-8)
+    assert np.max(np.abs(np.asarray(im))) < 1e-5

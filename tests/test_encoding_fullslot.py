@@ -1,0 +1,116 @@
+"""Full-slot packing (slots = N/2) encode/decode + rotation + gemv.
+
+GPQHE's he_ecd is general up to N/2 slots (call site src/ctr.c:466-470;
+the parameter is bounded only by the ring).  Round 1 supported sparse
+packing only (O(s^2) subring matrix); the O(s log s) complex negacyclic
+FFT path (hectr_tpu.ckks.encoding) lifts that to the full ring.  These
+tests cover:
+
+  * FFT-vs-matrix differential on the raw embedding (both paths are
+    exact-to-f64, so they must agree to ~1e-13),
+  * enc/dec roundtrip at slots = N/2 for logn=12,
+  * slot rotation at full packing,
+  * encrypted gemv with a banded full-slot matrix (3 active diagonals).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hectr_tpu.config import CKKSPreset
+from hectr_tpu.ckks import scheme as S
+from hectr_tpu.ckks.context import make_context
+from hectr_tpu.ckks.encoding import (
+    _MATRIX_MAX_SLOTS,
+    embed_ri,
+    embedding_matrices,
+    unembed,
+)
+from hectr_tpu.ckks.gemv import gemv
+from hectr_tpu.ckks.keyswitch import gen_rotation_keys, rotate
+
+import jax.numpy as jnp
+
+FULL = CKKSPreset(name="test-fullslot", logn=12, slots=2048, scale_bits=50,
+                  limb_bits=25, mult_depth=1)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return make_context(FULL)
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    return S.keygen(ctx, jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("s", [128, 1024])
+def test_fft_embedding_matches_matrix_path(s):
+    """Differential: the FFT path must agree with the long-validated
+    subring-matrix embedding (which the acceptance tests exercise at
+    s <= 64) to float64 exactness."""
+    assert s > _MATRIX_MAX_SLOTS  # the FFT path is actually in play
+    rng = np.random.default_rng(s)
+    vre = rng.uniform(-1, 1, s)
+    vim = rng.uniform(-1, 1, s)
+    m_fft = np.asarray(embed_ri(jnp.asarray(vre), jnp.asarray(vim), s))
+    ReE, ImE = embedding_matrices(s)
+    m_mat = (ReE.T @ vre + ImE.T @ vim) / s
+    np.testing.assert_allclose(m_fft, m_mat, atol=1e-12)
+    r_got, i_got = unembed(jnp.asarray(m_fft), s)
+    np.testing.assert_allclose(np.asarray(r_got), vre, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(i_got), vim, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_roundtrip_full_packing(ctx, keys):
+    """dec(enc(v)) ~ v with all N/2 slots carrying data."""
+    assert ctx.slots == ctx.n // 2
+    rng = np.random.default_rng(1)
+    v = (rng.uniform(-5, 5, ctx.slots)
+         + 1j * rng.uniform(-5, 5, ctx.slots)).astype(np.complex128)
+    pt = S.encode(ctx, v, ctx.max_limbs)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(2))
+    got = np.asarray(S.decode(ctx, S.decrypt(ctx, keys, ct)))
+    np.testing.assert_allclose(got.real, v.real, atol=1e-6)
+    np.testing.assert_allclose(got.imag, v.imag, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_rotation_full_packing(ctx, keys):
+    rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(3),
+                                 rotations=[1, 7])
+    rng = np.random.default_rng(4)
+    v = rng.uniform(-3, 3, ctx.slots).astype(np.complex128)
+    pt = S.encode(ctx, v, ctx.max_limbs)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(5))
+    for r in (1, 7):
+        got = np.asarray(S.decode(
+            ctx, S.decrypt(ctx, keys, rotate(ctx, ct, r, rot_keys))))
+        np.testing.assert_allclose(got.real, np.roll(v.real, -r), atol=1e-6)
+        assert np.max(np.abs(got.imag)) < 1e-4
+
+
+@pytest.mark.slow
+def test_gemv_banded_full_packing(ctx, keys):
+    """Encrypted gemv at slots = N/2 with a tridiagonal-ish matrix
+    (generalized diagonals 0, 1, slots-1): exercises the diagonal
+    method + hoisting with full-ring packing without paying for 2048
+    rotation keys."""
+    s = ctx.slots
+    rng = np.random.default_rng(6)
+    M = np.zeros((s, s))
+    idx = np.arange(s)
+    M[idx, idx] = rng.normal(size=s)                       # diagonal 0
+    M[idx, (idx + 1) % s] = rng.normal(size=s)             # diagonal 1
+    M[idx, (idx - 1) % s] = rng.normal(size=s)             # diagonal s-1
+    rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(7),
+                                 rotations=[1, s - 1])
+    v = rng.uniform(-2, 2, s).astype(np.complex128)
+    pt = S.encode(ctx, v, ctx.max_limbs)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(8))
+    got = np.asarray(S.decode(ctx, S.decrypt(
+        ctx, keys, gemv(ctx, M, ct, rot_keys))))
+    np.testing.assert_allclose(got.real, M @ v.real, atol=1e-5)
+    assert np.max(np.abs(got.imag)) < 1e-3
