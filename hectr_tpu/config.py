@@ -76,8 +76,10 @@ REFERENCE_HEMPC = CKKSPreset(
 # BASELINE.json config #3: enc/dec + ct-ct mult/rescale at logN=14, L=10.
 # Two special primes + width-2 digit grouping halve the key-switch
 # inner-product term count vs the classic per-limb decomposition.
+# Full packing (slots = N/2) via the FFT encode path
+# (hectr_tpu.ckks.encoding).
 MEDIUM = CKKSPreset(
-    name="medium", logn=14, slots=64, scale_bits=50,
+    name="medium", logn=14, slots=8192, scale_bits=50,
     limb_bits=25, mult_depth=5, special_limbs=2, digit_width=2,
 )
 

@@ -95,6 +95,24 @@ def make_mpc_regulator(model: LinearModel, plant: Plant, horizon: int) -> Regula
     return regulator
 
 
+def make_lqr_regulator(model: LinearModel, plant: Plant) -> Regulator:
+    """LQR regulator plug-in: u = -G (xhat - xr) + ur with the DLQR
+    gain (reference ctr_control, src/ctr.c:282-292 -- present but
+    commented out of the loop at src/ctr.c:423; its golden artifacts
+    cstr-lqr.{txt,bin} are reproduced by this plug-in)."""
+    from hectr_tpu.control.riccati import dlqr
+    from hectr_tpu.control.stages import lqr_control
+
+    Q, R = weighting_matrices(plant.xs, plant.us)
+    G, _ = dlqr(model.A, model.B, Q, R)
+    Gj = jnp.asarray(G, jnp.float64)
+
+    def regulator(state, xhat, uhat, xr, ur):
+        return lqr_control(Gj, xhat, xr, ur), state
+
+    return regulator
+
+
 def simulate(
     model: LinearModel,
     plant: Plant,

@@ -75,3 +75,21 @@ def test_cstr_mpc_closed_loop_golden():
     err = np.max(np.abs(ours - golden), axis=0)
     scale = np.max(np.abs(golden), axis=0)
     assert np.all(err / scale < 1e-6), (err, scale, err / scale)
+
+
+def test_cstr_lqr_closed_loop_golden():
+    """LQR regulator plug-in vs the reference's committed cstr-lqr
+    artifacts (their generator ctr_control is commented out at
+    src/ctr.c:423 -- the goldens are from an earlier LQR-based variant,
+    and this loop reproduces them at txt print precision)."""
+    from hectr_tpu.control.simulate import make_lqr_regulator
+    from tests.conftest import GOLDEN_DIR
+
+    model, plant, p_seq, dt, N = make_cstr_setup()
+    reg = make_lqr_regulator(model, plant)
+    x, u = simulate(model, plant, p_seq, dt, N, regulator=reg)
+    golden = np.loadtxt(GOLDEN_DIR / "cstr-lqr.txt")[:, 1:]  # drop k col
+    ours = np.hstack([x, np.vstack([u, u[-1:]])])
+    err = np.max(np.abs(ours - golden), axis=0)
+    scale = np.max(np.abs(golden), axis=0)
+    assert np.all(err / scale < 5e-6), (err, err / scale)
