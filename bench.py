@@ -88,6 +88,45 @@ def bench_ntt_logn15(limbs: int = 20) -> float:
     return limbs / dt
 
 
+def bench_pallas_parity() -> float:
+    """TPU-mode Pallas-vs-XLA bit-exactness gate (the CI suite only
+    exercises the Pallas kernels in interpret mode on CPU; this runs
+    both lowered paths on the REAL device and compares bit-for-bit).
+    Returns 1.0 iff forward and inverse agree exactly."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from hectr_tpu.ckks.ntt import build_ntt_tables, intt, ntt
+    from hectr_tpu.ckks.primes import find_ntt_primes
+
+    n = 1 << 13
+    primes = tuple(find_ntt_primes(30, 4, 2 * n))
+    t = build_ntt_tables(n, primes)
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.integers(0, np.array(primes).reshape(-1, 1),
+                                 size=(4, n)).astype(np.uint32))
+
+    def run(flag):
+        os.environ["HECTR_PALLAS"] = flag
+        try:
+            f = jax.jit(lambda x: intt(ntt(x, t), t))
+            fwd = jax.jit(lambda x: ntt(x, t))
+            return np.asarray(fwd(a)), np.asarray(f(a))
+        finally:
+            os.environ.pop("HECTR_PALLAS", None)
+
+    fwd_p, rt_p = run("1")
+    fwd_x, rt_x = run("0")
+    ok = (np.array_equal(fwd_p, fwd_x)
+          and np.array_equal(rt_p, np.asarray(a))
+          and np.array_equal(rt_x, np.asarray(a)))
+    if not ok:
+        raise AssertionError("Pallas/XLA NTT mismatch on device")
+    return 1.0
+
+
 def bench_ctct_mult_logn14() -> float:
     """ct-ct multiplies (relinearised + rescaled)/sec at logN=14, the
     BASELINE.json config #3 shape."""
@@ -193,9 +232,10 @@ def main():
     # generous per-section cost estimates (first-compile dominated);
     # skip a section if the remaining budget cannot fit it so the JSON
     # line always prints
-    est = {"ntt_logn15": 60, "ctct_mult_logn14": 200,
+    est = {"pallas_parity": 50, "ntt_logn15": 60, "ctct_mult_logn14": 200,
            "hempc_step_logn12": 180, "hempc_step_logn15_L20": 280}
-    for name, fn in [("ntt_logn15", bench_ntt_logn15),
+    for name, fn in [("pallas_parity", bench_pallas_parity),
+                     ("ntt_logn15", bench_ntt_logn15),
                      ("hempc_step_logn12", bench_hempc_step),
                      ("ctct_mult_logn14", bench_ctct_mult_logn14),
                      ("hempc_step_logn15_L20", bench_hempc_step_flagship)]:

@@ -204,12 +204,53 @@ def cmd_quadprog(args):
     print(r.stdout.strip().splitlines()[-1])
 
 
+def cmd_cstr_lqr(args):
+    from hectr_tpu.control.simulate import make_lqr_regulator, simulate
+    from hectr_tpu.utils import timed, write_traj_bin, write_traj_txt
+
+    model, plant = _cstr_setup()
+    N = args.steps
+    p_seq = np.zeros((N, 1))
+    p_seq[min(9, N):, 0] = 0.01
+    reg = make_lqr_regulator(model, plant)
+    with timed("closed-loop simulate (lqr)"):
+        x, u = simulate(model, plant, p_seq, 1.0, N, regulator=reg)
+    out_dir = pathlib.Path(args.out_dir)
+    write_traj_txt(out_dir / "cstr-lqr.txt", x, u)
+    write_traj_bin(out_dir / "cstr-lqr.bin", x, u)
+    print(f"wrote {out_dir}/cstr-lqr.{{txt,bin}}; final state {x[-1].round(4)}")
+    if args.plot:
+        _plot_traj(out_dir, "cstr-lqr", x, u)
+
+
+def cmd_scaling(args):
+    """NTT scaling-efficiency report (north star: >= 70% at 2+ hosts).
+    Runs on whatever devices exist: the virtual CPU mesh in tests, a
+    pod slice after init_distributed on real hardware."""
+    import json as _json
+
+    import jax
+    from jax.sharding import Mesh
+    import numpy as _np
+
+    from hectr_tpu.parallel.multihost import (
+        init_distributed, ntt_scaling_efficiency)
+
+    init_distributed()
+    devs = _np.array(jax.devices())
+    d = 1 << (devs.size.bit_length() - 1)   # largest power of two
+    mesh = Mesh(devs[:d], ("coeff",))
+    rep = ntt_scaling_efficiency(args.logn, args.depth * 2 + 2, mesh)
+    print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                       for k, v in rep.items()}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="hectr-tpu", description=__doc__)
     ap.add_argument("subcommand", choices=[
         "quadprog", "cstr-ode", "mpc-tracking",
         "inverted-pendulum-mpc-control", "cstr-mpc", "cstr-hempc",
-        "cstr-cmp"])
+        "cstr-cmp", "cstr-lqr", "scaling"])
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--logn", type=int, default=12)
     ap.add_argument("--scale-bits", type=int, default=50)
@@ -235,6 +276,8 @@ def main(argv=None):
         "cstr-mpc": lambda a: cmd_cstr_mpc(a, encrypted=False),
         "cstr-hempc": lambda a: cmd_cstr_mpc(a, encrypted=True),
         "cstr-cmp": cmd_cstr_cmp,
+        "cstr-lqr": cmd_cstr_lqr,
+        "scaling": cmd_scaling,
     }
     dispatch[args.subcommand](args)
 

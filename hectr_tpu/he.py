@@ -30,7 +30,7 @@ import numpy as np
 from hectr_tpu.config import CKKSPreset
 from hectr_tpu.ckks import scheme as _s
 from hectr_tpu.ckks.context import CKKSContext, make_context
-from hectr_tpu.ckks.gemv import gemv as _gemv
+from hectr_tpu.ckks.gemv import make_gemv
 from hectr_tpu.ckks.keyswitch import gen_rotation_keys
 
 
@@ -40,6 +40,7 @@ class HEContext:
     keys: Optional[_s.KeySet] = None
     rot_keys: Optional[dict] = None
     _key: jax.Array = None
+    _gemv_cache: dict = dataclasses.field(default_factory=dict)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -109,11 +110,21 @@ def he_moddown(hc, a):
 def he_gemv(hc: HEContext, M, ct: _s.Ciphertext) -> _s.Ciphertext:
     """Plaintext-matrix x ciphertext-vector product (consumes one
     level; the reference pairs it with he_moddown on the unmultiplied
-    operand)."""
+    operand).  The gemv closure (diagonal plaintexts + stacked keys) is
+    memoized per (matrix, level), so calling this in a loop -- the
+    reference's usage, src/ctr.c:589 -> src/hempc.c:257-259 -- pays the
+    closure build once, not per step."""
     assert hc.rot_keys is not None, "he_genrk first"
-    return _gemv(hc.ctx, np.asarray(M), ct, hc.rot_keys)
+    M = np.asarray(M)
+    cache_key = (M.tobytes(), M.shape, ct.limbs)
+    fn = hc._gemv_cache.get(cache_key)
+    if fn is None:
+        fn = make_gemv(hc.ctx, M, ct.limbs, hc.rot_keys)
+        hc._gemv_cache[cache_key] = fn
+    return fn(ct)
 
 
 def hectx_exit(hc: HEContext) -> None:
     hc.keys = None
     hc.rot_keys = None
+    hc._gemv_cache.clear()   # closures hold key material

@@ -68,3 +68,36 @@ def test_cli_mpc_tracking(tmp_path):
     got = np.loadtxt(tmp_path / "mpc-tracking-5.txt")
     golden = np.loadtxt(GOLDEN_DIR / "mpc-tracking-5.txt")
     np.testing.assert_allclose(got, golden, atol=1e-6)
+
+
+def test_cli_cstr_lqr(tmp_path):
+    from hectr_tpu import cli
+
+    cli.main(["cstr-lqr", "--out-dir", str(tmp_path)])
+    x, u = read_traj_bin(tmp_path / "cstr-lqr.bin")
+    golden_x, golden_u = read_traj_bin(GOLDEN_DIR / "cstr-lqr.bin")
+    np.testing.assert_allclose(x, golden_x, atol=1e-6)
+    np.testing.assert_allclose(u, golden_u, atol=1e-6)
+
+
+def test_cli_scaling_report(capsys):
+    """Scaling-efficiency report on the virtual 8-device CPU mesh
+    (the real-pod entry point; BASELINE north-star harness)."""
+    import json
+
+    from hectr_tpu import cli
+
+    cli.main(["scaling", "--logn", "10", "--depth", "1"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(line)
+    assert rep["devices"] == 8
+    assert rep["sharded_ntt_per_s"] > 0
+    assert 0 < rep["efficiency"] <= 1.5
+    assert rep["ppermute_bytes_per_transform"] == 3 * (1 << 10) // 8 * 4 * 4
+
+
+def test_multihost_init_noop_without_coordinator(monkeypatch):
+    from hectr_tpu.parallel.multihost import init_distributed
+
+    monkeypatch.delenv("HECTR_COORDINATOR", raising=False)
+    assert init_distributed() is False
