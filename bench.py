@@ -50,7 +50,10 @@ def _timeit_unique(fn_x_c, x0, iters=30):
     """Chained timing with a per-call unique scalar: r = fn(r, c_i).
     Every call has distinct argument values AND a data dependence on
     the previous call, defeating the remote runtime's memoization while
-    still amortizing RPC latency across the chain."""
+    still amortizing RPC latency across the chain.  The timed region
+    ends with a HOST FETCH of a reduction of the final result --
+    block_until_ready on a remote-tunnel future is not trusted to
+    actually wait, and a fetched value cannot be faked."""
     import jax
     import jax.numpy as jnp
 
@@ -62,15 +65,32 @@ def _timeit_unique(fn_x_c, x0, iters=30):
     r = x0
     for i in range(iters):
         r = fn_x_c(r, cs[i])
-    jax.block_until_ready(r)
+    _sink(r)
     return (time.perf_counter() - t0) / iters
 
 
-def bench_ntt_logn15(limbs: int = 20) -> float:
+def _sink(r) -> float:
+    """Force materialization on the HOST: fetch a scalar reduction (a
+    few bytes over the tunnel) that depends on every element."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(r)
+    tot = 0.0
+    for leaf in leaves:
+        tot += float(jnp.max(leaf).astype(jnp.float64))
+    return tot
+
+
+def bench_ntt_logn15(limbs: int = 20, inner: int = 16) -> float:
     """Full-chain forward NTTs/sec at logN=15 (counted per limb-ring
-    transform, the unit kernel of every CKKS op).  Chained unique-input
-    protocol (see _timeit_unique); NTT output residues are valid input,
-    so r = ntt(perturb(r, c)) keeps every call live."""
+    transform, the unit kernel of every CKKS op).
+
+    Two-level chaining: `inner` data-dependent transforms inside ONE
+    jitted call (amortizes the remote tunnel's per-RPC latency, which
+    can reach milliseconds and would otherwise dominate the ~16 us
+    kernel), and unique-scalar chaining ACROSS calls (defeats the
+    remote runtime's memoization, see _timeit_unique)."""
     import jax
     import jax.numpy as jnp
 
@@ -83,9 +103,16 @@ def bench_ntt_logn15(limbs: int = 20) -> float:
     rng = np.random.default_rng(0)
     a = rng.integers(0, np.array(primes).reshape(-1, 1),
                      size=(limbs, n)).astype(np.uint32)
-    f = jax.jit(lambda x, c: ntt(jnp.where(x == c, x - c, x), t))
-    dt = _timeit_unique(f, jnp.asarray(a))
-    return limbs / dt
+
+    def chain(x, c):
+        x = jnp.where(x == c, x - c, x)   # unique per outer call
+        # each iteration consumes the previous transform's output:
+        # a real data-dependent chain XLA cannot elide
+        return jax.lax.fori_loop(0, inner, lambda i, v: ntt(v, t), x)
+
+    f = jax.jit(chain)
+    dt = _timeit_unique(f, jnp.asarray(a), iters=10)
+    return inner * limbs / dt
 
 
 def bench_pallas_parity() -> float:
@@ -111,9 +138,10 @@ def bench_pallas_parity() -> float:
     def run(flag):
         os.environ["HECTR_PALLAS"] = flag
         try:
-            f = jax.jit(lambda x: intt(ntt(x, t), t))
-            fwd = jax.jit(lambda x: ntt(x, t))
-            return np.asarray(fwd(a)), np.asarray(f(a))
+            # one compile per flag: fwd + roundtrip in a single graph
+            f = jax.jit(lambda x: (ntt(x, t), intt(ntt(x, t), t)))
+            fwd, rt = f(a)
+            return np.asarray(fwd), np.asarray(rt)
         finally:
             os.environ.pop("HECTR_PALLAS", None)
 
@@ -137,6 +165,10 @@ def bench_ctct_mult_logn14() -> float:
     from hectr_tpu.ckks.context import make_context
     from hectr_tpu.ckks.keyswitch import gen_relin_key, mul_ct
 
+    import jax.numpy as jnp
+
+    from hectr_tpu.ckks.scheme import Ciphertext
+
     preset = CKKSPreset(name="bench14", logn=14, slots=64, scale_bits=50,
                         limb_bits=25, mult_depth=5)
     ctx = make_context(preset)
@@ -145,30 +177,39 @@ def bench_ctct_mult_logn14() -> float:
     v = np.random.default_rng(0).uniform(-1, 1, ctx.slots).astype(np.complex128)
     # jit encode+encrypt: eagerly they pay one remote compile PER OP
     enc = jax.jit(lambda key: S.encrypt(
-        ctx, keys, S.encode(ctx, v, ctx.max_limbs), key))
-    ca = enc(jax.random.PRNGKey(2))
-    cb = enc(jax.random.PRNGKey(3))
+        ctx, keys, S.encode(ctx, v, ctx.max_limbs), key).data)
+    cb = Ciphertext(data=enc(jax.random.PRNGKey(3)),
+                    scale=ctx.delta)
 
-    def mult(a, b):
-        return S.rescale_pair(ctx, mul_ct(ctx, a, b, rk)).data
+    B = 8   # mults per RPC: amortizes tunnel latency (vmap batch)
 
-    f = jax.jit(mult)
+    def mult_batch(a_stack):
+        def one(a):
+            ct = Ciphertext(data=a, scale=ctx.delta)
+            return S.rescale_pair(ctx, mul_ct(ctx, ct, cb, rk)).data
+        return jax.vmap(one)(a_stack)
+
+    f = jax.jit(mult_batch)
     # distinct-argument pipeline (remote runtime memoizes repeats)
-    cas = [enc(jax.random.PRNGKey(10 + i)) for i in range(12)]
-    jax.block_until_ready([c.data for c in cas])
-    r = f(ca, cb)
+    batches = [jnp.stack([enc(jax.random.PRNGKey(100 * i + j))
+                          for j in range(B)]) for i in range(4)]
+    jax.block_until_ready(batches)
+    r = f(batches[0])
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    for c in cas:
-        r = f(c, cb)
-    jax.block_until_ready(r)
-    return len(cas) / (time.perf_counter() - t0)
+    rs = [f(bt) for bt in batches]
+    for r in rs:
+        _sink(r)   # every batch is independent: fetch each
+    return len(batches) * B / (time.perf_counter() - t0)
 
 
-def _bench_regulator_steps(preset, iters: int = 20) -> float:
+def _bench_regulator_steps(preset, iters: int = 6, inner: int = 8) -> float:
     """Encrypted MPC regulator steps/sec at the given CKKS preset.
-    Chained: each step's control output feeds the next step's uhat, so
-    every call is live (closed-loop realistic AND memoization-proof)."""
+
+    `inner` closed-loop steps run inside ONE jitted lax.scan (each
+    step's control output feeds the next step's uhat -- realistic AND
+    amortizes remote-tunnel RPC latency); outer calls chain u through
+    distinct state sequences (memoization-proof)."""
     import jax
     import jax.numpy as jnp
 
@@ -183,25 +224,29 @@ def _bench_regulator_steps(preset, iters: int = 20) -> float:
     rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
     model, plant = _cstr_model_plant()
     reg = make_hempc_regulator(ctx, keys, rot_keys, model, plant, horizon=4)
+    xr, ur = jnp.zeros(3), jnp.zeros(2)
 
-    def fn(key, xhat, uhat, xr, ur):
-        u, _ = reg(hempc_init_state(key), xhat, uhat, xr, ur)
+    def multi(u0, xs_seq, key):
+        def body(carry, x):
+            u, st = carry
+            u2, st2 = reg(st, x, u, xr, ur)
+            return (u2, st2), ()
+        (u, _), _ = jax.lax.scan(
+            body, (u0, hempc_init_state(key)), xs_seq)
         return u
 
-    f = jax.jit(fn)
+    f = jax.jit(multi)
     key = jax.random.PRNGKey(7)
-    xhat, uhat = jnp.zeros(3), jnp.zeros(2)
-    xr, ur = jnp.zeros(3), jnp.zeros(2)
-    r = f(key, xhat, uhat, xr, ur)
-    jax.block_until_ready(r)
-    xs = [xhat + 1e-9 * (i + 1) for i in range(iters)]
-    jax.block_until_ready(xs)
-    t0 = time.perf_counter()
-    u = uhat
-    for i in range(iters):
-        u = f(key, xs[i], u, xr, ur)
+    xs0 = jnp.zeros((inner, 3))
+    u = f(jnp.zeros(2), xs0, key)
     jax.block_until_ready(u)
-    return iters / (time.perf_counter() - t0)
+    seqs = [xs0 + 1e-9 * (i + 1) for i in range(iters)]
+    jax.block_until_ready(seqs)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        u = f(u, seqs[i], key)
+    _sink(u)
+    return inner * iters / (time.perf_counter() - t0)
 
 
 def bench_hempc_step() -> float:
@@ -232,13 +277,18 @@ def main():
     # generous per-section cost estimates (first-compile dominated);
     # skip a section if the remaining budget cannot fit it so the JSON
     # line always prints
-    est = {"pallas_parity": 50, "ntt_logn15": 60, "ctct_mult_logn14": 200,
-           "hempc_step_logn12": 180, "hempc_step_logn15_L20": 280}
-    for name, fn in [("pallas_parity", bench_pallas_parity),
-                     ("ntt_logn15", bench_ntt_logn15),
-                     ("hempc_step_logn12", bench_hempc_step),
-                     ("ctct_mult_logn14", bench_ctct_mult_logn14),
-                     ("hempc_step_logn15_L20", bench_hempc_step_flagship)]:
+    est = {"pallas_parity": 70, "ntt_logn15": 50, "ctct_mult_logn14": 150,
+           "hempc_step_logn12": 200, "hempc_step_logn15_L20": 280}
+    sections = [("pallas_parity", bench_pallas_parity),
+                ("ntt_logn15", bench_ntt_logn15),
+                ("hempc_step_logn12", bench_hempc_step),
+                ("ctct_mult_logn14", bench_ctct_mult_logn14),
+                ("hempc_step_logn15_L20", bench_hempc_step_flagship)]
+    only = __import__("os").environ.get("HECTR_BENCH_SECTIONS")
+    if only:
+        want = set(only.split(","))
+        sections = [(n, f) for n, f in sections if n in want]
+    for name, fn in sections:
         if _remaining() < est[name]:
             print(f"[bench] {name} SKIPPED (budget: {_remaining():.0f}s "
                   f"left, needs ~{est[name]}s)", file=sys.stderr)

@@ -141,7 +141,8 @@ _MASK16 = np.uint32(0xFFFF)
 
 
 def _mulhi32(a, w):
-    """hi 32 bits of a*w for a < 2^30, w < 2^32 (both uint32)."""
+    """hi 32 bits of a*w for a < 2^31, w < 2^32 (both uint32): all
+    partial sums stay exact in uint32 (a1 < 2^15)."""
     a1 = a >> jnp.uint32(16)
     a0 = a & _MASK16
     w1 = w >> jnp.uint32(16)
@@ -171,6 +172,39 @@ def mul_mod_shoup_u32(a, w32, w_shoup32, p32):
     q = _mulhi32(a, w_shoup32)
     r = a * w32 - q * p32                             # wrapping; true r < 2p
     return jnp.where(r >= p32, r - p32, r)
+
+
+# ---- lazy (redundant-representative) variants for fused kernels -----
+# Values live in [0, 2p) between butterfly stages; p < 2^30 keeps every
+# intermediate < 2^32.  The Shoup quotient error is <= 1 for ANY
+# a < 2^32 (q - q_hat < a/2^32 + 1 < 2), so the product lands in
+# [0, 2p) with ZERO correction selects -- the saving that makes the
+# compute-bound NTT kernel faster.  Reduce to [0, p) once at the end
+# with norm_u32.
+
+
+def mul_mod_shoup_u32_lazy(a, w32, w_shoup32, p32):
+    """a < 2^31 (e.g. in [0, 2p)), w < p: returns (a*w) mod p + {0,p}
+    in [0, 2p), no correction."""
+    q = _mulhi32(a, w_shoup32)
+    return a * w32 - q * p32                          # wrapping; < 2p
+
+
+def add_u32_lazy(a, b, p2_32):
+    """a, b in [0, 2p) -> (a + b) mod 2p in [0, 2p) (congruent mod p)."""
+    s = a + b                                         # < 4p < 2^32
+    return jnp.where(s >= p2_32, s - p2_32, s)
+
+
+def sub_u32_lazy(a, b, p2_32):
+    """a, b in [0, 2p) -> (a - b) mod 2p in [0, 2p)."""
+    d = a + p2_32 - b                                 # in (0, 4p)
+    return jnp.where(d >= p2_32, d - p2_32, d)
+
+
+def norm_u32(a, p32):
+    """[0, 2p) -> [0, p)."""
+    return jnp.where(a >= p32, a - p32, a)
 
 
 def to_rns(coeffs_obj: np.ndarray, primes: list[int]) -> np.ndarray:

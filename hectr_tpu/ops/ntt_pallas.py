@@ -50,9 +50,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hectr_tpu.ckks.modmath import (
-    add_mod_u32,
-    mul_mod_shoup_u32,
-    sub_mod_u32,
+    add_u32_lazy,
+    mul_mod_shoup_u32_lazy,
+    norm_u32,
+    sub_u32_lazy,
 )
 from hectr_tpu.ckks.ntt import NTTTables
 
@@ -189,31 +190,37 @@ def _rolls(x, half: int, R: int):
 def _fwd_kernel(sr: int, sl: int, R: int,
                 p_ref, wrow_ref, wrow_sh_ref, wlA_ref, wlA_sh_ref,
                 wlB_ref, wlB_sh_ref, x_ref, o_ref):
+    """Lazy-reduction butterflies: values live in [0, 2p) across all
+    stages (inputs arrive < p < 2p; Shoup products land < 2p with NO
+    correction; add/sub wrap mod 2p), one normalize at the end -- the
+    kernel is VPU compute-bound (DESIGN.md §5.1), so the removed
+    correction selects are direct wins."""
     x = x_ref[0, 0]                                  # [R, 128] u32
     p = p_ref[pl.program_id(0), 0]
+    p2 = p + p
     n = R * LANES
 
     half = n // 2
     for s in range(sr):                              # row stages
-        sx = mul_mod_shoup_u32(x, wrow_ref[0, s], wrow_sh_ref[0, s], p)
+        sx = mul_mod_shoup_u32_lazy(x, wrow_ref[0, s], wrow_sh_ref[0, s], p)
         fwd, bwd = _rolls(sx, half, R)
         _, xb = _rolls(x, half, R)
-        out_u = add_mod_u32(x, fwd, p)
-        out_v = sub_mod_u32(xb, sx, p)
+        out_u = add_u32_lazy(x, fwd, p2)
+        out_v = sub_u32_lazy(xb, sx, p2)
         x = jnp.where(_stage_mask(R, half), out_u, out_v)
         half //= 2
 
     for s in range(sl):                              # lane stages
-        xa = mul_mod_shoup_u32(x, wlA_ref[0, s], wlA_sh_ref[0, s], p)
-        sx = mul_mod_shoup_u32(xa, wlB_ref[0, s], wlB_sh_ref[0, s], p)
+        xa = mul_mod_shoup_u32_lazy(x, wlA_ref[0, s], wlA_sh_ref[0, s], p)
+        sx = mul_mod_shoup_u32_lazy(xa, wlB_ref[0, s], wlB_sh_ref[0, s], p)
         fwd, _ = _rolls(sx, half, R)
         _, xb = _rolls(x, half, R)
-        out_u = add_mod_u32(x, fwd, p)
-        out_v = sub_mod_u32(xb, sx, p)
+        out_u = add_u32_lazy(x, fwd, p2)
+        out_v = sub_u32_lazy(xb, sx, p2)
         x = jnp.where(_stage_mask(R, half), out_u, out_v)
         half //= 2
 
-    o_ref[0, 0] = x
+    o_ref[0, 0] = norm_u32(x, p)
 
 
 def _inv_kernel(sr: int, sl: int, R: int,
@@ -222,30 +229,33 @@ def _inv_kernel(sr: int, sl: int, R: int,
     x = x_ref[0, 0]
     i_limb = pl.program_id(0)
     p = p_ref[i_limb, 0]
+    p2 = p + p
     n = R * LANES
 
     half = 1
     for s in range(sl):                              # lane stages first
         v_at_u, u_at_v = _rolls(x, half, R)
-        out_u = add_mod_u32(x, v_at_u, p)
-        d = sub_mod_u32(u_at_v, x, p)
-        da = mul_mod_shoup_u32(d, wlA_ref[0, s], wlA_sh_ref[0, s], p)
-        out_v = mul_mod_shoup_u32(da, wlB_ref[0, s], wlB_sh_ref[0, s], p)
+        out_u = add_u32_lazy(x, v_at_u, p2)
+        d = sub_u32_lazy(u_at_v, x, p2)
+        da = mul_mod_shoup_u32_lazy(d, wlA_ref[0, s], wlA_sh_ref[0, s], p)
+        out_v = mul_mod_shoup_u32_lazy(da, wlB_ref[0, s],
+                                       wlB_sh_ref[0, s], p)
         x = jnp.where(_stage_mask(R, half), out_u, out_v)
         half *= 2
 
     for s in range(sr):                              # row stages
         v_at_u, u_at_v = _rolls(x, half, R)
-        out_u = add_mod_u32(x, v_at_u, p)
+        out_u = add_u32_lazy(x, v_at_u, p2)
         if s == sr - 1:                              # fold N^-1 (u branch)
-            out_u = mul_mod_shoup_u32(out_u, ninv_ref[i_limb, 0],
-                                      ninv_sh_ref[i_limb, 0], p)
-        d = sub_mod_u32(u_at_v, x, p)
-        out_v = mul_mod_shoup_u32(d, wrow_ref[0, s], wrow_sh_ref[0, s], p)
+            out_u = mul_mod_shoup_u32_lazy(out_u, ninv_ref[i_limb, 0],
+                                           ninv_sh_ref[i_limb, 0], p)
+        d = sub_u32_lazy(u_at_v, x, p2)
+        out_v = mul_mod_shoup_u32_lazy(d, wrow_ref[0, s],
+                                       wrow_sh_ref[0, s], p)
         x = jnp.where(_stage_mask(R, half), out_u, out_v)
         half *= 2
 
-    o_ref[0, 0] = x
+    o_ref[0, 0] = norm_u32(x, p)
 
 
 def _call(kernel_body, tab, a: jnp.ndarray, table_names: tuple[str, ...],

@@ -66,6 +66,9 @@ def test_sharded_rescale_bit_exact_on_real_ciphertext(ctx, ops):
     """The REAL scheme op on a REAL ciphertext: encrypt, coeff-shard,
     rescale on the mesh, compare bit-for-bit with the single-device
     rescale, then decrypt + decode and check the value."""
+    if ops.D != 8:
+        pytest.skip("scheme-level check once, on the full mesh "
+                    "(2-dev coverage comes from the NTT/mul tests)")
     keys = S.keygen(ctx, jax.random.PRNGKey(10))
     rng = np.random.default_rng(11)
     v = rng.uniform(-2, 2, ctx.slots)

@@ -95,6 +95,7 @@ def test_batched_ct_sharding(ctx, keys):
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
+@pytest.mark.slow   # the driver executes dryrun_multichip separately
 def test_dryrun_multichip_8():
     """The driver's multi-chip dryrun must pass on the virtual mesh."""
     import __graft_entry__ as g
