@@ -19,7 +19,10 @@ from hectr_tpu.ckks.keyswitch import (
     rotate,
 )
 
-PRESET = CKKSPreset(name="test-rot", logn=12, slots=16, scale_bits=50,
+# logn=10 keeps keygen + 15 rotation keys fast; rotation/gemv semantics
+# are ring-size independent (the logn=12 reference ring is exercised by
+# the slow acceptance tests, tests/test_hempc.py)
+PRESET = CKKSPreset(name="test-rot", logn=10, slots=16, scale_bits=50,
                     limb_bits=25, mult_depth=2)
 
 

@@ -56,6 +56,7 @@ def test_limb_sharded_homomorphic_add(ctx, keys):
     np.testing.assert_array_equal(np.asarray(out.data), want)
 
 
+@pytest.mark.slow   # heavy sharded-decrypt compile; dryrun covers it
 def test_limb_sharded_full_decrypt_path(ctx, keys):
     """encrypt -> rescale-bearing mul_pt -> decrypt -> decode with the
     ciphertext sharded over the limb axis: exercises the cross-limb
