@@ -326,19 +326,31 @@ def main():
     if only:
         want = set(only.split(","))
         sections = [(n, f) for n, f in sections if n in want]
-    for name, fn in sections:
-        if _remaining() < est[name]:
-            print(f"[bench] {name} SKIPPED (budget: {_remaining():.0f}s "
-                  f"left, needs ~{est[name]}s)", file=sys.stderr)
-            continue
+    def attempt(name, fn, tag=""):
         try:
             t_sec = time.time()
             results[name] = _run_watchdogged(
                 fn, min(2.0 * est[name] + 60.0, max(_remaining(), 10.0)))
             print(f"[bench] {name}: {results[name]:.1f}/s "
-                  f"({time.time()-t_sec:.0f}s)", file=sys.stderr)
+                  f"({time.time()-t_sec:.0f}s){tag}", file=sys.stderr)
+            return True
         except BaseException as e:  # pragma: no cover
-            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
+            print(f"[bench] {name} FAILED{tag}: {e}", file=sys.stderr)
+            return False
+
+    failed = []
+    for name, fn in sections:
+        if _remaining() < est[name]:
+            print(f"[bench] {name} SKIPPED (budget: {_remaining():.0f}s "
+                  f"left, needs ~{est[name]}s)", file=sys.stderr)
+            continue
+        if not attempt(name, fn):
+            failed.append((name, fn))
+    # tunnel wedges clear within minutes -- retry failed sections once
+    # with whatever budget the early abandons left over
+    for name, fn in failed:
+        if _remaining() >= est[name]:
+            attempt(name, fn, tag=" (retry)")
     print(f"[bench] total {time.time()-t_start:.0f}s", file=sys.stderr)
 
     primary = results.get("ntt_logn15", 0.0)
