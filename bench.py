@@ -272,6 +272,29 @@ _R01 = {"ntt_logn15": 1259567.46, "hempc_step_logn12": 251.87}
 
 
 _ABANDONED = False   # a watchdog abandoned a wedged section thread
+_PROBE = {}          # cached jitted tunnel-health probe
+
+
+def _tunnel_healthy(timeout_s: float = 20.0) -> bool:
+    """Cheap health gate: a trivial jitted op + scalar host fetch under
+    a short watchdog.  When the tunnel wedges (fetches block for
+    minutes), launching a full section burns its whole 150-250s
+    watchdog window for nothing; probing first costs ~20s and leaves
+    the budget for the retry pass to catch a recovery window.  The
+    probe compile is cached (observed ~0.4s first call on a healthy
+    tunnel; a recovering tunnel's queue-drain fetch was ~13s, hence the
+    20s default)."""
+    import jax
+    import jax.numpy as jnp
+
+    if "fn" not in _PROBE:
+        _PROBE["fn"] = jax.jit(lambda v: v + 1)
+        _PROBE["x"] = jnp.ones((8, 128), jnp.float32)
+    try:
+        _run_watchdogged(lambda: _sink(_PROBE["fn"](_PROBE["x"])), timeout_s)
+        return True
+    except BaseException:  # noqa: BLE001 - any failure means unhealthy
+        return False
 
 
 def _run_watchdogged(fn, timeout_s: float):
@@ -344,13 +367,27 @@ def main():
             print(f"[bench] {name} SKIPPED (budget: {_remaining():.0f}s "
                   f"left, needs ~{est[name]}s)", file=sys.stderr)
             continue
+        if not _tunnel_healthy():
+            print(f"[bench] {name} DEFERRED (tunnel unhealthy)",
+                  file=sys.stderr)
+            failed.append((name, fn))
+            continue
         if not attempt(name, fn):
             failed.append((name, fn))
-    # tunnel wedges clear within minutes -- retry failed sections once
-    # with whatever budget the early abandons left over
-    for name, fn in failed:
-        if _remaining() >= est[name]:
-            attempt(name, fn, tag=" (retry)")
+    # tunnel wedges clear within minutes -- retry failed/deferred
+    # sections with whatever budget the quick health probes preserved
+    while failed and _remaining() >= min(est[n] for n, _ in failed):
+        name, fn = failed.pop(0)
+        if _remaining() < est[name]:
+            continue
+        if not _tunnel_healthy():
+            # still wedged: wait out part of the budget before reprobing
+            time.sleep(min(30.0, max(_remaining() - est[name], 0.0)))
+            if not _tunnel_healthy():
+                print(f"[bench] {name} ABANDONED (tunnel unhealthy)",
+                      file=sys.stderr)
+                continue
+        attempt(name, fn, tag=" (retry)")
     print(f"[bench] total {time.time()-t_start:.0f}s", file=sys.stderr)
 
     primary = results.get("ntt_logn15", 0.0)
