@@ -2,28 +2,73 @@
 
 Runs on the real TPU chip (default env: the axon-tunnelled device).
 Metrics follow BASELINE.json: NTTs/sec per chip at logN=15 (primary),
-plus ct-ct mults/sec and encrypted-MPC steps/sec on stderr.
+plus ct-ct mults/sec and encrypted-MPC steps/sec in "secondary".
 
 The reference publishes no performance numbers (BASELINE.md), so
-vs_baseline is reported against the first recorded value of this
-benchmark itself (1.0 on the first run).
+vs_baseline is reported against the best previously *recorded on-TPU*
+value of this benchmark itself.
+
+History note: round 1's recorded ntt_logn15 = 1,259,567/s predates the
+discovery that the axon remote runtime memoizes identical
+executable+argument executions (see _timeit docstring); it is
+memoization-inflated by ~4000x and is NOT used as a comparison base.
+The first real on-device numbers were measured 2026-08-21 (round 3):
+ntt_logn15 = 287.8/s, ctct_mult_logn14 = 28.95/s, with the fused
+Pallas NTT path active.
+
+Resilience: the tunnel's latency varies ~100x and can WEDGE outright
+(host fetches blocking for minutes).  Every successful section result
+is persisted to results/bench_cache.json; when a later run cannot
+measure a section live, the cached value is reported under "cached"
+(with its age and backend) and, for the primary metric only, used as a
+clearly-labeled stale stand-in ("stale_primary": true) -- a labeled
+stand-in beats a null.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-
 _T_START = time.time()
-_BUDGET_S = float(__import__("os").environ.get("HECTR_BENCH_BUDGET_S", "520"))
+_BUDGET_S = float(os.environ.get("HECTR_BENCH_BUDGET_S", "520"))
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results", "bench_cache.json")
 
 
 def _remaining() -> float:
     return _BUDGET_S - (time.time() - _T_START)
+
+
+def _backend_name() -> str:
+    import jax
+
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "unknown"
+
+
+def _cache_load() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _cache_store(name: str, value: float) -> None:
+    cache = _cache_load()
+    cache[name] = {"value": value, "ts": time.time(),
+                   "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                   "backend": _backend_name()}
+    os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+    with open(_CACHE_PATH, "w") as f:
+        json.dump(cache, f, indent=1)
 
 
 def _timeit(fn, *args, warmup=2, iters=30):
@@ -266,34 +311,51 @@ def bench_hempc_step_flagship() -> float:
     return _bench_regulator_steps(FLAGSHIP, iters=10)
 
 
-# Round-1 recorded values (BENCH_r01.json) -- vs_baseline is measured
-# round-over-round against these.
-_R01 = {"ntt_logn15": 1259567.46, "hempc_step_logn12": 251.87}
+# Best previously recorded REAL on-TPU values (first measured round 3,
+# 2026-08-21, fused Pallas NTT active) -- vs_baseline compares against
+# these.  Round 1's ntt number (1,259,567/s) was memoization-inflated
+# (see module docstring) and is deliberately not a base.
+_BEST_TPU = {"ntt_logn15": 287.8, "ctct_mult_logn14": 28.95,
+             "hempc_step_logn12": 251.87}
 
 
 _ABANDONED = False   # a watchdog abandoned a wedged section thread
-_PROBE = {}          # cached jitted tunnel-health probe
+_SUSPECT = False     # results measured after an abandon may contend
+_PROBE = {"n": 0}    # cached jitted tunnel-health probe
 
 
-def _tunnel_healthy(timeout_s: float = 20.0) -> bool:
+def _tunnel_healthy(timeout_s: float | None = None) -> bool:
     """Cheap health gate: a trivial jitted op + scalar host fetch under
     a short watchdog.  When the tunnel wedges (fetches block for
     minutes), launching a full section burns its whole 150-250s
     watchdog window for nothing; probing first costs ~20s and leaves
-    the budget for the retry pass to catch a recovery window.  The
-    probe compile is cached (observed ~0.4s first call on a healthy
-    tunnel; a recovering tunnel's queue-drain fetch was ~13s, hence the
-    20s default)."""
+    the budget for the retry pass to catch a recovery window.
+
+    Two hard-won details: (1) the FIRST probe call pays the remote
+    compile (20-40s on axon) so its watchdog window must be wider than
+    the steady-state 20s, else a healthy-but-cold tunnel is reported
+    wedged (observed round 3); (2) each probe feeds a fresh scalar into
+    the jitted fn -- the remote runtime memoizes identical
+    executable+argument pairs, so a constant-input probe after the
+    first would return from cache without touching the tunnel."""
     import jax
     import jax.numpy as jnp
 
     if "fn" not in _PROBE:
-        _PROBE["fn"] = jax.jit(lambda v: v + 1)
+        _PROBE["fn"] = jax.jit(lambda v, c: (v + c).sum())
         _PROBE["x"] = jnp.ones((8, 128), jnp.float32)
+    if timeout_s is None:
+        timeout_s = 75.0 if _PROBE["n"] == 0 else 20.0
+    _PROBE["n"] += 1
+    c = jnp.float32(_PROBE["n"])
+
+    def probe():
+        return float(_PROBE["fn"](_PROBE["x"], c))
+
     try:
-        _run_watchdogged(lambda: _sink(_PROBE["fn"](_PROBE["x"])), timeout_s)
+        _run_watchdogged(probe, timeout_s)
         return True
-    except BaseException:  # noqa: BLE001 - any failure means unhealthy
+    except (Exception, TimeoutError):
         return False
 
 
@@ -305,8 +367,8 @@ def _run_watchdogged(fn, timeout_s: float):
     wedged fetch inside a section would otherwise hang the whole bench
     past the driver's patience and lose the final JSON line.  A stuck
     worker is abandoned (daemon thread); later sections may contend
-    with the stalled runtime but each gets its own watchdog, and the
-    budget check bounds total wall time."""
+    with the stalled runtime (flagged "suspect" in the JSON) and each
+    gets its own watchdog; the budget check bounds total wall time."""
     import threading
 
     out = {}
@@ -333,31 +395,41 @@ def _run_watchdogged(fn, timeout_s: float):
 def main():
     t_start = time.time()
     results = {}
-    # per-section cost estimates (compile-dominated; round-2 measured
-    # values + headroom); skip a section if the remaining budget cannot
-    # fit it so the JSON line always prints.  Ordered by importance:
-    # primary metric first, then the flagship (BASELINE configs[4]),
-    # so a slow tunnel drops the least-critical sections.
-    est = {"pallas_parity": 45, "ntt_logn15": 30, "ctct_mult_logn14": 120,
-           "hempc_step_logn12": 160, "hempc_step_logn15_L20": 220}
-    sections = [("pallas_parity", bench_pallas_parity),
-                ("ntt_logn15", bench_ntt_logn15),
+    global _SUSPECT
+    suspect_sections = []
+    # per-section cost estimates (compile-dominated), recalibrated from
+    # the round-3 healthy-tunnel runs: ntt 35s, ctct 130s measured;
+    # skip a section if the remaining budget cannot fit it so the JSON
+    # line always prints.  Order: primary metric first, then ct-ct mult
+    # (the longest-unmeasured BASELINE config), then the cheap parity
+    # gate, then the closed-loop rates.
+    est = {"ntt_logn15": 60, "ctct_mult_logn14": 150, "pallas_parity": 90,
+           "hempc_step_logn12": 160, "hempc_step_logn15_L20": 240}
+    sections = [("ntt_logn15", bench_ntt_logn15),
+                ("ctct_mult_logn14", bench_ctct_mult_logn14),
+                ("pallas_parity", bench_pallas_parity),
                 ("hempc_step_logn12", bench_hempc_step),
-                ("hempc_step_logn15_L20", bench_hempc_step_flagship),
-                ("ctct_mult_logn14", bench_ctct_mult_logn14)]
-    only = __import__("os").environ.get("HECTR_BENCH_SECTIONS")
+                ("hempc_step_logn15_L20", bench_hempc_step_flagship)]
+    only = os.environ.get("HECTR_BENCH_SECTIONS")
     if only:
         want = set(only.split(","))
         sections = [(n, f) for n, f in sections if n in want]
+
     def attempt(name, fn, tag=""):
         try:
             t_sec = time.time()
+            was_abandoned = _ABANDONED
             results[name] = _run_watchdogged(
                 fn, min(2.0 * est[name] + 60.0, max(_remaining(), 10.0)))
+            if was_abandoned:
+                # an abandoned thread's queued device work may have
+                # contended with this timed section
+                suspect_sections.append(name)
+            _cache_store(name, results[name])
             print(f"[bench] {name}: {results[name]:.1f}/s "
                   f"({time.time()-t_sec:.0f}s){tag}", file=sys.stderr)
             return True
-        except BaseException as e:  # pragma: no cover
+        except (Exception, TimeoutError) as e:
             print(f"[bench] {name} FAILED{tag}: {e}", file=sys.stderr)
             return False
 
@@ -390,16 +462,44 @@ def main():
         attempt(name, fn, tag=" (retry)")
     print(f"[bench] total {time.time()-t_start:.0f}s", file=sys.stderr)
 
+    # stale-cache fallback for unmeasured sections (labeled, never
+    # silently merged into live results)
+    cache = _cache_load()
+    cached_out = {}
+    for name, _fn in sections:
+        if name not in results and name in cache:
+            ent = cache[name]
+            cached_out[name] = {
+                "value": round(ent["value"], 2),
+                "age_s": round(time.time() - ent["ts"]),
+                "date": ent.get("date", ""),
+                "backend": ent.get("backend", "unknown")}
+
+    stale_primary = False
     primary = results.get("ntt_logn15", 0.0)
-    vs = {k: round(results[k] / _R01[k], 3) for k in _R01 if k in results}
-    print(json.dumps({
+    if primary == 0.0 and "ntt_logn15" in cached_out:
+        primary = cached_out["ntt_logn15"]["value"]
+        stale_primary = True
+    vs = {k: round(results[k] / _BEST_TPU[k], 3)
+          for k in _BEST_TPU if k in results}
+    out = {
         "metric": "negacyclic limb-NTTs/sec @ logN=15 (single chip)",
         "value": round(primary, 1),
         "unit": "NTT/s",
         "vs_baseline": vs.get("ntt_logn15", 1.0),
-        "vs_round1": vs,
+        "vs_best_tpu": vs,
         "secondary": {k: round(v, 2) for k, v in results.items()},
-    }))
+        "backend": _backend_name(),
+    }
+    if cached_out:
+        out["cached"] = cached_out
+    if stale_primary:
+        out["stale_primary"] = True
+    if _ABANDONED:
+        out["abandoned"] = True
+    if suspect_sections:
+        out["suspect"] = suspect_sections
+    print(json.dumps(out))
     if _ABANDONED:
         # A wedged tunnel fetch is still blocked inside an abandoned
         # daemon thread; normal interpreter teardown aborts the process
@@ -407,7 +507,7 @@ def main():
         # JSON line.  Skip teardown so the driver sees rc 0.
         sys.stdout.flush()
         sys.stderr.flush()
-        __import__("os")._exit(0)
+        os._exit(0)
 
 
 if __name__ == "__main__":
