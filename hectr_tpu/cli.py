@@ -245,12 +245,22 @@ def cmd_scaling(args):
                        for k, v in rep.items()}))
 
 
+def cmd_security(args):
+    """Security accounting for every registered CKKS preset (HE
+    standard table; the reference publishes no security statement)."""
+    from hectr_tpu.config import PRESETS
+    from hectr_tpu.ckks.security import security_report
+
+    for preset in PRESETS.values():
+        print(security_report(preset))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="hectr-tpu", description=__doc__)
     ap.add_argument("subcommand", choices=[
         "quadprog", "cstr-ode", "mpc-tracking",
         "inverted-pendulum-mpc-control", "cstr-mpc", "cstr-hempc",
-        "cstr-cmp", "cstr-lqr", "scaling"])
+        "cstr-cmp", "cstr-lqr", "scaling", "security"])
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--logn", type=int, default=12)
     ap.add_argument("--scale-bits", type=int, default=50)
@@ -278,6 +288,7 @@ def main(argv=None):
         "cstr-cmp": cmd_cstr_cmp,
         "cstr-lqr": cmd_cstr_lqr,
         "scaling": cmd_scaling,
+        "security": cmd_security,
     }
     dispatch[args.subcommand](args)
 

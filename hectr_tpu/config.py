@@ -83,10 +83,24 @@ MEDIUM = CKKSPreset(
     limb_bits=25, mult_depth=5, special_limbs=2, digit_width=2,
 )
 
+# Security-hardened variant of the reference parameters.  The
+# reference's own q=2^109 at N=4096 sits exactly at the HE standard's
+# 128-bit ceiling (src/ctr.c:514-517); our RNS realization of the
+# parity preset needs 140 modulus bits (2x30 base + 50-bit scale pair
+# + 30-bit special), which at N=4096 is only ~101-bit estimated -- see
+# hectr_tpu.ckks.security.  Same scale/depth at logN=13 clears the
+# 218-bit ceiling with a wide margin; use this for deployments, and
+# REFERENCE_HEMPC only for reference-parity testing.
+REFERENCE_HEMPC_SECURE = CKKSPreset(
+    name="reference-hempc-secure", logn=13, slots=16, scale_bits=50,
+    limb_bits=25, mult_depth=1,
+)
+
 # BASELINE.json flagship: encrypted MPC at logN=15, L=20.
 FLAGSHIP = CKKSPreset(
     name="flagship", logn=15, slots=16, scale_bits=50,
     limb_bits=25, mult_depth=10, special_limbs=2, digit_width=2,
 )
 
-PRESETS = {p.name: p for p in (REFERENCE_HEMPC, MEDIUM, FLAGSHIP)}
+PRESETS = {p.name: p for p in (REFERENCE_HEMPC, REFERENCE_HEMPC_SECURE,
+                               MEDIUM, FLAGSHIP)}
