@@ -6,21 +6,37 @@ reference's ONLY multiplicative primitive -- M is a real matrix
 zero-embedded into a slots x slots complex layout (d2z_matrix,
 src/matrices.c:133-141), v is an encrypted slot vector, and the product
 consumes one multiplicative level (partnered with he_moddown on the
-un-multiplied operand).
+un-multiplied operand).  GPQHE's contract is GENERAL (any matrix, any
+slot count), so both regimes are served:
 
-Algorithm: the rotation/diagonal method
-    M v = sum_r diag_r(M) * rot_r(v),   diag_r[i] = M[i, (i+r) mod s]
-with
-  * exact skipping of zero diagonals (the controller's gain matrices
-    are small blocks inside the slot layout, so most diagonals vanish),
-  * hoisting: ONE digit decomposition of the input shared by every
-    rotation amount,
+* **Diagonal method with hoisting** (`method="diag"`):
+      M v = sum_r diag_r(M) * rot_r(v),  diag_r[i] = M[i, (i+r) mod s]
+  one switching key and one key switch per *nonzero* diagonal, a single
+  hoisted digit decomposition shared by all of them.  Optimal for the
+  controller's gain matrices (small blocks => few active diagonals).
+
+* **Baby-step/giant-step** (`method="bsgs"`): write r = g*n1 + b with
+  n1 ~ sqrt(s); then
+      M v = sum_g rot_{g n1}( sum_b rot_{-g n1}(diag_{g n1 + b}) * rot_b(v) )
+  needs keys only for the n1-1 baby amounts and the active giant
+  amounts g*n1 -- O(sqrt s) keys and O(sqrt s) key switches where the
+  plain diagonal method needs O(s) of each (at the MEDIUM preset's
+  slots=8192 that is ~2*91 keys instead of 8191 multi-hundred-MB keys).
+  Baby rotations share one hoisted decomposition; giant rotations are
+  applied to the already-accumulated inner sums.  Level consumption and
+  output scale are identical to the diagonal method.
+
+`method="auto"` (default) picks whichever needs fewer key switches for
+the matrix's sparsity pattern, preferring a method whose keys are
+actually present in `rot_keys`.
+
+Shared engineering:
   * diagonal plaintexts precomputed eagerly at closure-build time (they
     are static per matrix/level -- encoding them inside the traced step
     bloated both the graph and the runtime),
-  * a lax.scan over rotation amounts (stacked keys/permutations), which
+  * lax.scan over rotation amounts (stacked keys/permutations), which
     keeps the compiled graph one-body-sized instead of unrolling all
-    `slots` rotations -- the remote-TPU compile of the fully unrolled
+    rotations -- the remote-TPU compile of the fully unrolled
     encrypted-MPC step took minutes,
   * one rescale at the end; output scale == input scale (diagonals are
     encoded at the trailing-pair scale).
@@ -44,7 +60,7 @@ from hectr_tpu.ckks.keyswitch import (
     galois_element,
     slice_key,
 )
-from hectr_tpu.ckks.modmath import add_mod, mul_mod
+from hectr_tpu.ckks.modmath import add_mod, mul_mod, sum_mod
 from hectr_tpu.ckks.scheme import Ciphertext, encode, mul_pt, rescale_pair
 
 
@@ -67,16 +83,89 @@ def diagonals(M: np.ndarray, slots: int) -> np.ndarray:
                      for r in range(slots)])
 
 
-def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict):
+# ---------------------------------------------------------------------------
+# baby-step / giant-step split
+# ---------------------------------------------------------------------------
+
+
+def bsgs_split(slots: int) -> tuple[int, int]:
+    """(n1, n2): baby count n1 ~ round(sqrt(slots)) and giant count
+    n2 = ceil(slots/n1), so n1*n2 >= slots and total keys
+    (n1-1) + (n2-1) <= 2*sqrt(slots).  n1 need not divide slots: the
+    last giant group is simply partial."""
+    import math
+
+    n1 = max(1, round(math.sqrt(slots)))
+    return n1, -(-slots // n1)
+
+
+def bsgs_rotations(slots: int) -> list[int]:
+    """The rotation amounts a dense BSGS gemv needs keys for: babies
+    1..n1-1 and giants n1, 2*n1, ... -- ~2*sqrt(slots) total.  Feed to
+    gen_rotation_keys(..., rotations=bsgs_rotations(ctx.slots))."""
+    n1, n2 = bsgs_split(slots)
+    return sorted(set(range(1, n1)) | {g * n1 for g in range(1, n2)})
+
+
+def _bsgs_cost(active_rot: list[int], slots: int) -> tuple[int, list[int], int]:
+    """(#key switches, needed rotation amounts, n1) for BSGS on this
+    sparsity pattern.  Baby steps are the full 1..n1-1 (the baby stack
+    is shared across groups); giant cost counts only active g > 0
+    groups (the g = 0 group needs no giant rotation)."""
+    n1, _ = bsgs_split(slots)
+    giants = sorted({r // n1 for r in active_rot} - {0})
+    needed = sorted(set(range(1, n1)) | {g * n1 for g in giants})
+    return (n1 - 1) + len(giants), needed, n1
+
+
+def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict,
+              method: str = "auto"):
     """Build an encrypted-gemv closure for a fixed matrix at a fixed
     level (k input limbs).  All static material -- diagonal plaintexts,
     evaluation permutations, stacked level-sliced switching keys -- is
-    materialised eagerly here, outside any trace."""
+    materialised eagerly here, outside any trace.
+
+    method: "diag" (hoisted diagonal method, one key per nonzero
+    diagonal), "bsgs" (baby-step/giant-step, ~2*sqrt(s) keys), or
+    "auto" (fewest key switches among the methods whose keys are
+    available)."""
     s = ctx.slots
     diags = diagonals(np.asarray(M), s)
     active = [r for r in range(s) if np.max(np.abs(diags[r])) > 0.0]
     if not active:
         active = [0]
+    rot_active = [r for r in active if r % s != 0]
+
+    if method == "auto":
+        bs_cost, bs_needed, _ = _bsgs_cost(rot_active, s)
+        diag_ok = all(r in rot_keys for r in rot_active)
+        bsgs_ok = all(r in rot_keys for r in bs_needed)
+        if diag_ok and (len(rot_active) <= bs_cost or not bsgs_ok):
+            method = "diag"
+        elif bsgs_ok:
+            method = "bsgs"
+        else:
+            missing = [r for r in rot_active if r not in rot_keys][:5]
+            raise KeyError(
+                f"rot_keys covers neither method: diagonal path missing "
+                f"amounts {missing}..., BSGS path needs "
+                f"{bsgs_rotations(s)[:5]}... (gen_rotation_keys(..., "
+                f"rotations=bsgs_rotations(ctx.slots)))")
+    if method == "diag":
+        return _make_gemv_diag(ctx, diags, active, k, rot_keys)
+    if method == "bsgs":
+        return _make_gemv_bsgs(ctx, diags, active, k, rot_keys)
+    raise ValueError(f"unknown gemv method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# hoisted diagonal method
+# ---------------------------------------------------------------------------
+
+
+def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
+                    k: int, rot_keys: dict):
+    s = ctx.slots
     pair = ctx.pair_scale(k)
     vri = jnp.asarray(np.stack([
         np.stack([diags[r].real, diags[r].imag]) for r in active]))
@@ -124,8 +213,94 @@ def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict):
     return apply
 
 
+# ---------------------------------------------------------------------------
+# baby-step / giant-step method
+# ---------------------------------------------------------------------------
+
+
+def _make_gemv_bsgs(ctx: CKKSContext, diags: np.ndarray, active: list[int],
+                    k: int, rot_keys: dict):
+    s = ctx.slots
+    n1, _n2 = bsgs_split(s)
+    pair = ctx.pair_scale(k)
+    t = ctx.tables(k)
+    active_set = set(active)
+    groups = sorted({r // n1 for r in active})
+
+    # diag'_{g,b} = rot_{-g n1}(diag_{g n1 + b}); np.roll by +g*n1 is
+    # exactly rot_{-g n1} (rot_r(x)[i] = x[(i+r) mod s])
+    vri = np.zeros((len(groups), n1, 2, s))
+    for gi, g in enumerate(groups):
+        for b in range(n1):
+            r = g * n1 + b
+            if r < s and r in active_set:
+                d = np.roll(diags[r], g * n1)
+                vri[gi, b, 0] = d.real
+                vri[gi, b, 1] = d.imag
+    pt_grid = _encode_batch(ctx, jnp.asarray(vri.reshape(-1, 2, s)),
+                            k, pair).reshape(len(groups), n1, k, ctx.n)
+
+    baby_perms = jnp.asarray(np.stack([
+        eval_permutation(ctx.n, galois_element(b, ctx.n))
+        for b in range(1, n1)]))
+    baby_ksk = jnp.stack([slice_key(ctx, rot_keys[b], k)
+                          for b in range(1, n1)])
+
+    giants = [g for g in groups if g > 0]
+    if giants:
+        g_perms = jnp.asarray(np.stack([
+            eval_permutation(ctx.n, galois_element(g * n1, ctx.n))
+            for g in giants]))
+        g_ksk = jnp.stack([slice_key(ctx, rot_keys[g * n1], k)
+                           for g in giants])
+        pt_g = pt_grid[np.asarray([groups.index(g) for g in giants])]
+    has_g0 = 0 in groups
+    pt_0 = pt_grid[groups.index(0)] if has_g0 else None
+
+    def apply(ct: Ciphertext) -> Ciphertext:
+        assert ct.limbs == k, (ct.limbs, k)
+        digits = decompose_digits(ctx, ct.data[1])          # hoisted babies
+        c0 = ct.data[0]
+
+        def baby_body(_, inp):
+            perm, ksk = inp
+            ks_ext = _inner_product(ctx, digits[..., perm], ksk, k,
+                                    sliced=True)
+            ks = _mod_down_special(ctx, ks_ext, k)
+            return None, jnp.stack([add_mod(c0[..., perm], ks[0], t.p),
+                                    ks[1]])
+
+        _, C_rot = jax.lax.scan(baby_body, None, (baby_perms, baby_ksk))
+        C = jnp.concatenate([ct.data[None], C_rot], axis=0)  # [n1, 2, k, N]
+
+        def group_sum(ptg):
+            # sum_b C[b] * ptg[b]; products reduced, then one u64 sum +
+            # Barrett (n1 * p < 2^45, in sum_mod's domain)
+            prod = mul_mod(C, ptg[:, None], t.p, t.mu, t.k)  # [n1,2,k,N]
+            return sum_mod(prod, 0, t.p, t.mu, t.k)          # [2,k,N]
+
+        acc = group_sum(pt_0) if has_g0 else jnp.zeros_like(ct.data)
+        if giants:
+            def giant_body(carry, inp):
+                ptg, perm, ksk = inp
+                w = group_sum(ptg)
+                w0 = w[0][..., perm]
+                w1 = w[1][..., perm]
+                dig = decompose_digits(ctx, w1)
+                ks_ext = _inner_product(ctx, dig, ksk, k, sliced=True)
+                ks = _mod_down_special(ctx, ks_ext, k)
+                out = jnp.stack([add_mod(w0, ks[0], t.p), ks[1]])
+                return add_mod(carry, out, t.p), None
+
+            acc, _ = jax.lax.scan(giant_body, acc, (pt_g, g_perms, g_ksk))
+        out = Ciphertext(data=acc, scale=ct.scale * pair)
+        return rescale_pair(ctx, out)
+
+    return apply
+
+
 def gemv(ctx: CKKSContext, M: np.ndarray, ct: Ciphertext,
-         rot_keys: dict) -> Ciphertext:
+         rot_keys: dict, method: str = "auto") -> Ciphertext:
     """Encrypted M @ v.  Consumes one level; output scale == input
     scale.  (One-shot convenience; loops should build `make_gemv` once.)"""
-    return make_gemv(ctx, M, ct.limbs, rot_keys)(ct)
+    return make_gemv(ctx, M, ct.limbs, rot_keys, method=method)(ct)

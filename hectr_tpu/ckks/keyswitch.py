@@ -164,6 +164,12 @@ def gen_relin_key(ctx: CKKSContext, keys: KeySet, key) -> jnp.ndarray:
     return _gen_switching_key(ctx, keys.sk, s2, key)
 
 
+def _key_bytes(ctx: CKKSContext) -> int:
+    """Size of one switching key in bytes (uint32 residues)."""
+    lf = ctx.max_limbs + len(ctx.special_primes)
+    return ctx.dnum(ctx.max_limbs) * 2 * lf * ctx.n * 4
+
+
 def gen_rotation_keys(ctx: CKKSContext, keys: KeySet, key,
                       rotations: list[int] | None = None
                       ) -> dict[int, jnp.ndarray]:
@@ -172,7 +178,20 @@ def gen_rotation_keys(ctx: CKKSContext, keys: KeySet, key,
     no key and is skipped).  All keys are generated by ONE vmapped
     executable (round 1's per-rotation jit calls re-dispatched the
     whole keygen graph per amount)."""
-    rotations = list(range(ctx.slots)) if rotations is None else rotations
+    if rotations is None:
+        if ctx.slots > 256:
+            import warnings
+
+            from hectr_tpu.ckks.gemv import bsgs_rotations
+
+            warnings.warn(
+                f"gen_rotation_keys default materializes {ctx.slots - 1} "
+                f"switching keys (~{(ctx.slots - 1) * _key_bytes(ctx) >> 20}"
+                f" MB at this preset); dense gemv only needs "
+                f"~2*sqrt(slots): pass rotations=bsgs_rotations(ctx.slots)"
+                f" ({len(bsgs_rotations(ctx.slots))} keys)",
+                stacklevel=2)
+        rotations = list(range(ctx.slots))
     rotations = [r for r in rotations if r % ctx.slots != 0]
     if not rotations:
         return {}
