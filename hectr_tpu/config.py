@@ -96,11 +96,22 @@ REFERENCE_HEMPC_SECURE = CKKSPreset(
     limb_bits=25, mult_depth=1,
 )
 
-# BASELINE.json flagship: encrypted MPC at logN=15, L=20.
+# BASELINE.json flagship: encrypted MPC at logN=15, L=20.  The QP
+# depth ledger (hempc.qp_enc.pgd_limbs_required, DESIGN.md §2.2): the
+# gemv pair leaves k_in=20, so constrained MPC fits with deg-7 clips
+# at ONE projected-gradient iteration (18 limbs, exact fit).
 FLAGSHIP = CKKSPreset(
     name="flagship", logn=15, slots=16, scale_bits=50,
     limb_bits=25, mult_depth=10, special_limbs=2, digit_width=2,
 )
 
+# Constrained-MPC flagship: 5 more rescale levels buy the default
+# deg-7 / 2-iteration encrypted QP (k_in=30, ledger 28, exact fit)
+# while logQP = 870 stays under the 128-bit ceiling (881 at logN=15).
+FLAGSHIP_QP = CKKSPreset(
+    name="flagship-qp", logn=15, slots=16, scale_bits=50,
+    limb_bits=25, mult_depth=15, special_limbs=2, digit_width=2,
+)
+
 PRESETS = {p.name: p for p in (REFERENCE_HEMPC, REFERENCE_HEMPC_SECURE,
-                               MEDIUM, FLAGSHIP)}
+                               MEDIUM, FLAGSHIP, FLAGSHIP_QP)}

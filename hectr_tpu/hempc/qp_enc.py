@@ -201,6 +201,25 @@ def clip_pairs(degree: int) -> int:
     return {3: 3, 7: 4}[degree]
 
 
+def pgd_limbs_required(degree: int, iters: int,
+                       input_kind: str = "w_scaled") -> int:
+    """THE DEPTH LEDGER: data limbs consumed below k_in by the
+    encrypted PGD (documented in DESIGN.md §2.2).
+
+    One clip burns C = 2*clip_pairs(degree) limbs (4 rescale pairs for
+    deg 7, 3 for deg 3); each iteration burns 2 (its gemv) + C; the
+    "du" input kind burns 2 more for the w-space normalization
+    (folded into the caller's gains when "w_scaled").  The solver's
+    constructor asserts k_in - pgd_limbs_required(...) >= base limbs.
+
+      FLAGSHIP    (22 limbs, k_in=20): deg7/iters=1 -> 18 (exact fit)
+      FLAGSHIP_QP (32 limbs, k_in=30): deg7/iters=2 -> 28 (exact fit)
+    """
+    C = 2 * clip_pairs(degree)
+    norm = 2 if input_kind == "du" else 0
+    return norm + C + iters * (2 + C)
+
+
 def make_encrypted_clip(ctx: CKKSContext, relin_key, lb: np.ndarray,
                         ub: np.ndarray, k: int, domain=2.0,
                         degree: int = 7, denormalize: bool = False):
@@ -346,7 +365,7 @@ def make_encrypted_pgd(ctx: CKKSContext, relin_key, rot_keys,
     hw[:d_cons] = (ub - lb) / 2.0
     C = 2 * clip_pairs(degree)
     norm = 2 if input_kind == "du" else 0
-    need = norm + C + iters * (2 + C)
+    need = pgd_limbs_required(degree, iters, input_kind)
     assert k_in - need >= len(ctx.base_primes), (
         f"depth: need {need} limbs below k_in={k_in}, "
         f"base={len(ctx.base_primes)}")
@@ -386,3 +405,57 @@ def make_encrypted_pgd(ctx: CKKSContext, relin_key, rot_keys,
     # one compiled graph for the whole fixed iteration (the eager path
     # pays per-op dispatch x hundreds of modular ops on a deep chain)
     return jax.jit(_solve), eta
+
+
+def make_pgd_mirror_regulator(model, plant, horizon: int, bounds,
+                              iters: int = 2, degree: int = 7,
+                              input_bound=3.0):
+    """Jittable PLAINTEXT mirror of the constrained encrypted regulator
+    (gemv pair -> fixed-iteration polynomial PGD -> uhat + du), for
+    closed-loop differential testing and for predicting the encrypted
+    controller's behavior offline.  Same fixed iteration, same per-slot
+    minimax clip polynomials on the same certified domains as
+    make_encrypted_pgd -- the encrypted loop must match THIS to CKKS
+    noise (it is NOT the exact active-set QP: PGD at fixed iteration
+    count plus a polynomial projection is its own, deterministic
+    control law)."""
+    from hectr_tpu.control.mpc import mpc_gains, mpc_hessian
+    from hectr_tpu.control.stages import weighting_matrices
+
+    ny, nx = np.shape(model.C)
+    nu = np.shape(model.B)[1]
+    Q, R = weighting_matrices(plant.xs, plant.us)
+    K_A, K_B = mpc_gains(ny, nx, nu, horizon, model.A, model.B, model.C,
+                         Q, R)
+    H = mpc_hessian(ny, nx, nu, horizon, model.A, model.B, model.C, Q, R)
+    lb = np.tile(np.asarray(bounds.dumin, dtype=np.float64), horizon)
+    ub = np.tile(np.asarray(bounds.dumax, dtype=np.float64), horizon)
+    mid, hw = (lb + ub) / 2.0, (ub - lb) / 2.0
+    eta = pgd_eta(H, lb, ub, input_bound)
+    B0, B_it = pgd_domains(H, lb, ub, eta, input_bound)
+    cs0 = jnp.asarray(clip_coeffs_per_slot(B0, degree))    # [d, nterms]
+    cs_it = jnp.asarray(clip_coeffs_per_slot(B_it, degree))
+    K_Aj, K_Bj, Hj = map(jnp.asarray, (K_A, K_B, H))
+    midj, hwj = jnp.asarray(mid), jnp.asarray(hw)
+    etaj = jnp.float64(eta)
+
+    def clip(y, cs):
+        w = (y - midj) / hwj
+        acc = jnp.zeros_like(w)
+        for i in range(cs.shape[1]):
+            acc = acc + cs[:, i] * w ** (2 * i + 1)
+        return midj + hwj * acc
+
+    def regulator(state, xhat, uhat, xr, ur):
+        du_unc = -(K_Aj @ (xhat - xr) + K_Bj @ (uhat - ur))
+        # thread the certificate residual through the scan state: the
+        # caller asserts it stayed <= input_bound after the loop (the
+        # a-priori envelope the encrypted solver was built against)
+        cert = jnp.max(jnp.abs(du_unc - midj) / hwj)
+        state = jnp.maximum(state, cert) if state is not None else state
+        z = clip(du_unc, cs0)
+        for _ in range(iters):
+            z = clip(z - etaj * (Hj @ (z - du_unc)), cs_it)
+        return uhat + z[:nu], state
+
+    return regulator

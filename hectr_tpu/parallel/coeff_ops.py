@@ -44,8 +44,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from hectr_tpu.ckks.basecvt import (
+    base_conv_constants,
+    base_convert,
+    grouped_conv_constants,
+    grouped_convert,
+)
 from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.modmath import mul_mod, mul_mod_shoup, sub_mod
+from hectr_tpu.ckks.modmath import (
+    add_mod,
+    mul_mod,
+    mul_mod_shoup,
+    sub_mod,
+    sum_mod,
+)
 from hectr_tpu.ckks.scheme import Ciphertext
 from hectr_tpu.parallel.ntt_shard import local_ntt_fns
 
@@ -145,3 +157,175 @@ class CoeffOps:
         k = a.limbs
         data = self._rescale_fn(k)(self.shard(a.data))
         return Ciphertext(data=data, scale=a.scale / self.ctx.pair_scale(k))
+
+    # ------------------------------------------------------------------
+    # key switching (the hot op of the encrypted controller: behind
+    # every rotation, reference src/ctr.c:521-532 / src/hempc.c:257-259)
+    # ------------------------------------------------------------------
+    #
+    # Decomposition into mesh programs: the digit decomposition and the
+    # inner-product+mod-down are each ONE shard_map program (their NTT
+    # round-trips exchange the butterfly-minimum chunks via ppermute;
+    # the centered-CRT base conversions are per-coefficient, hence
+    # local).  The only other communication is the Galois permutation
+    # of the evaluation index axis -- a static gather across shards
+    # that GSPMD lowers to a collective; it runs in the global view
+    # BETWEEN the two shard_map programs, exactly where the hoisted
+    # gemv re-permutes shared digits per rotation amount.
+
+    @functools.cache
+    def _decompose_fn(self, k: int):
+        """shard_map digit decomposition: NTT-domain c1 chunk [k, C] ->
+        extended NTT-domain digits [dnum, k+S, C] (the sharded mirror
+        of ckks.keyswitch.decompose_digits)."""
+        ctx = self.ctx
+        t = ctx.tables(k)
+        tks = ctx.tables_ks(k)
+        dnum, alpha = ctx.dnum(k), ctx.alpha
+        pad = dnum * alpha - k
+        consts = grouped_conv_constants(
+            ctx.digit_groups(k), ctx.data_primes[:k] + ctx.special_primes)
+        inv_data = local_ntt_fns(t, self.axis, self.D)[1]
+        fwd_ks = local_ntt_fns(tks, self.axis, self.D)[0]
+
+        def local(c1):
+            coeff = inv_data(c1)                            # [k, C]
+            if pad:
+                coeff = jnp.concatenate(
+                    [coeff, jnp.zeros((pad, coeff.shape[-1]), jnp.uint32)],
+                    axis=0)
+            ext = grouped_convert(coeff.reshape(dnum, alpha, -1), consts)
+            return fwd_ks(ext)                              # [dnum, k+S, C]
+
+        return jax.jit(jax.shard_map(local, mesh=self.mesh,
+                                     in_specs=self._spec(2),
+                                     out_specs=self._spec(3)))
+
+    @functools.cache
+    def _ks_apply_fn(self, k: int):
+        """shard_map inner-product + special mod-down: (digits
+        [dnum, k+S, C], sliced key [dnum, 2, k+S, C]) -> [2, k, C]
+        (the sharded mirror of _inner_product + _mod_down_special)."""
+        from hectr_tpu.ckks.keyswitch import _ks_constants
+
+        ctx = self.ctx
+        t = ctx.tables(k)
+        tks = ctx.tables_ks(k)
+        bc = base_conv_constants(ctx.special_primes, ctx.data_primes[:k])
+        pinv, pinv_sh = _ks_constants(ctx, k)
+        inv_sp = local_ntt_fns(ctx.tables_special(), self.axis, self.D)[1]
+        fwd_data = local_ntt_fns(t, self.axis, self.D)[0]
+
+        def local(digits, ksk):
+            prod = mul_mod(digits[:, None], ksk, tks.p, tks.mu, tks.k)
+            acc = sum_mod(prod, 0, tks.p, tks.mu, tks.k)    # [2, k+S, C]
+            last = inv_sp(acc[..., k:, :])                  # [2, S, C]
+            ext = fwd_data(base_convert(last, bc))          # [2, k, C]
+            diff = sub_mod(acc[..., :k, :], ext, t.p)
+            return mul_mod_shoup(diff, jnp.broadcast_to(pinv, (k, 1)),
+                                 jnp.broadcast_to(pinv_sh, (k, 1)), t.p)
+
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self._spec(3), self._spec(4)),
+            out_specs=self._spec(3)))
+
+    @functools.cache
+    def _rotate_fn(self, k: int):
+        ctx = self.ctx
+        t = ctx.tables(k)
+        dec = self._decompose_fn(k)
+        ksa = self._ks_apply_fn(k)
+
+        def run(data, perm, ksk):
+            c0r = data[0][..., perm]
+            c1r = data[1][..., perm]
+            ks = ksa(dec(c1r), ksk)
+            return jnp.stack([add_mod(c0r, ks[0], t.p), ks[1]])
+
+        return jax.jit(run)
+
+    def rotate(self, ct: Ciphertext, r: int, rot_keys: dict) -> Ciphertext:
+        """Left-rotate a coeff-sharded ciphertext's slots by r --
+        bit-identical to ckks.keyswitch.rotate (same permute-first
+        order, same arithmetic)."""
+        from hectr_tpu.ckks.keyswitch import (
+            eval_permutation, galois_element, slice_key)
+
+        ctx = self.ctx
+        r = r % ctx.slots
+        if r == 0:
+            return ct
+        k = ct.limbs
+        perm = jnp.asarray(eval_permutation(ctx.n, galois_element(r, ctx.n)))
+        ksk = self.shard(slice_key(ctx, rot_keys[r], k))
+        data = self._rotate_fn(k)(self.shard(ct.data), perm, ksk)
+        return Ciphertext(data=data, scale=ct.scale)
+
+    def make_gemv(self, M: np.ndarray, k: int, rot_keys: dict):
+        """Coeff-sharded hoisted-diagonal encrypted gemv closure --
+        the same op sequence as ckks.gemv's diagonal method (one digit
+        decomposition shared across rotation amounts), so the result is
+        bit-identical to the single-device closure.  Rotation amounts
+        are unrolled (a Python loop) -- sized for the controller's
+        small slot counts; dense large-slot matrices belong to the BSGS
+        path on a single chip."""
+        from hectr_tpu.ckks.gemv import _encode_batch, diagonals
+        from hectr_tpu.ckks.keyswitch import (
+            eval_permutation, galois_element, slice_key)
+        from hectr_tpu.ckks.scheme import Plaintext
+
+        ctx = self.ctx
+        s = ctx.slots
+        diags = diagonals(np.asarray(M), s)
+        active = [r for r in range(s) if np.max(np.abs(diags[r])) > 0.0]
+        if not active:
+            active = [0]
+        pair = ctx.pair_scale(k)
+        vri = jnp.asarray(np.stack([
+            np.stack([diags[r].real, diags[r].imag]) for r in active]))
+        pt_batch = _encode_batch(ctx, vri, k, pair)
+        pts = {r: Plaintext(data=pt_batch[i], scale=pair)
+               for i, r in enumerate(active)}
+        rot_active = [r for r in active if r % s != 0]
+        perms = [jnp.asarray(eval_permutation(ctx.n, galois_element(r, ctx.n)))
+                 for r in rot_active]
+        ksks = [self.shard(slice_key(ctx, rot_keys[r], k))
+                for r in rot_active]
+        pt_rot = [pts[r].data for r in rot_active]
+        t = ctx.tables(k)
+        dec = self._decompose_fn(k)
+        ksa = self._ks_apply_fn(k)
+        resc = self._rescale_fn(k)
+
+        def run(data, *flat):
+            n_r = len(rot_active)
+            perms_l = flat[:n_r]
+            pt_l = flat[n_r:2 * n_r]
+            ksk_l = flat[2 * n_r:]
+            if 0 in pts:
+                acc = mul_mod(data, pts[0].data[None], t.p, t.mu, t.k)
+            else:
+                acc = jnp.zeros_like(data)
+            if rot_active:
+                digits = dec(data[1])                       # hoisted
+                c0 = data[0]
+                for perm, pt_data, ksk in zip(perms_l, pt_l, ksk_l):
+                    dig_r = digits[..., perm]
+                    ks = ksa(dig_r, ksk)
+                    term0 = mul_mod(add_mod(c0[..., perm], ks[0], t.p),
+                                    pt_data, t.p, t.mu, t.k)
+                    term1 = mul_mod(ks[1], pt_data, t.p, t.mu, t.k)
+                    acc = add_mod(acc, jnp.stack([term0, term1]), t.p)
+            return resc(acc)
+
+        run_j = jax.jit(run)
+
+        def apply(ct: Ciphertext) -> Ciphertext:
+            assert ct.limbs == k, (ct.limbs, k)
+            data = run_j(self.shard(ct.data), *perms, *pt_rot, *ksks)
+            # pt-mult raised the scale by `pair`; the fused rescale
+            # divided it back out: net scale unchanged
+            return Ciphertext(data=data, scale=ct.scale)
+
+        return apply

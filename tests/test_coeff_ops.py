@@ -18,7 +18,10 @@ from hectr_tpu.ckks.modmath import mul_mod
 from hectr_tpu.ckks.ntt import intt, ntt
 from hectr_tpu.parallel.coeff_ops import CoeffOps
 
-PRESET = CKKSPreset(name="coeff-test", logn=12, slots=16, scale_bits=50,
+# logn=10 keeps the fast gate cheap on 2-vCPU hosts (round-2 review
+# flagged logn=12 x 8 virtual devices as a fast-suite hot spot); the
+# deep/large-ring coverage is the dryrun (logN=15) and the slow suite.
+PRESET = CKKSPreset(name="coeff-test", logn=10, slots=16, scale_bits=50,
                     limb_bits=25, mult_depth=2)
 
 
@@ -88,4 +91,67 @@ def test_sharded_rescale_bit_exact_on_real_ciphertext(ctx, ops):
 
     re, im = S.decode_ri(ctx, S.decrypt(ctx, keys, got))
     np.testing.assert_allclose(np.asarray(re), 2.0 * v, atol=1e-8)
+    assert np.max(np.abs(np.asarray(im))) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def crypto(ctx):
+    from hectr_tpu.ckks.keyswitch import gen_rotation_keys
+
+    keys = S.keygen(ctx, jax.random.PRNGKey(20))
+    rot = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(21),
+                            rotations=[1, 3, 5])
+    return keys, rot
+
+
+def test_sharded_rotate_bit_exact(ctx, ops, crypto):
+    """Coeff-sharded key switch behind a slot rotation (VERDICT r2 #4:
+    the hot op of the encrypted controller, reference rotation
+    machinery src/ctr.c:521-532): bit-identical to the single-device
+    rotate, then value-checked after decrypt."""
+    from hectr_tpu.ckks.keyswitch import rotate
+
+    keys, rot = crypto
+    rng = np.random.default_rng(22)
+    v = rng.uniform(-2, 2, ctx.slots)
+    pt = S.encode(ctx, (jnp.asarray(v), jnp.zeros(ctx.slots)),
+                  ctx.max_limbs)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(23))
+    for r in (1, 3):
+        want = rotate(ctx, ct, r, rot)
+        got = ops.rotate(ct, r, rot)
+        assert got.scale == want.scale
+        np.testing.assert_array_equal(np.asarray(got.data),
+                                      np.asarray(want.data))
+    re, im = S.decode_ri(ctx, S.decrypt(ctx, keys, ops.rotate(ct, 3, rot)))
+    np.testing.assert_allclose(np.asarray(re), np.roll(v, -3), atol=1e-6)
+    assert np.max(np.abs(np.asarray(im))) < 1e-5
+
+
+def test_sharded_gemv_bit_exact(ctx, ops, crypto):
+    """Coeff-sharded hoisted-diagonal gemv == single-device gemv,
+    bit-for-bit (same hoisted decomposition, same op order)."""
+    from hectr_tpu.ckks.gemv import make_gemv
+
+    if ops.D != 8:
+        pytest.skip("gemv parity once, on the full mesh")
+    keys, rot = crypto
+    s = ctx.slots
+    rng = np.random.default_rng(24)
+    M = np.zeros((s, s))
+    idx = np.arange(s)
+    M[idx, idx] = rng.normal(size=s)
+    M[idx, (idx + 1) % s] = rng.normal(size=s)             # diagonal 1
+    M[idx, (idx + 5) % s] = rng.normal(size=s)             # diagonal 5
+    v = rng.uniform(-1, 1, s)
+    pt = S.encode(ctx, (jnp.asarray(v), jnp.zeros(s)), ctx.max_limbs)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(25))
+
+    want = make_gemv(ctx, M, ctx.max_limbs, rot, method="diag")(ct)
+    got = ops.make_gemv(M, ctx.max_limbs, rot)(ct)
+    assert got.scale == want.scale
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(want.data))
+    re, im = S.decode_ri(ctx, S.decrypt(ctx, keys, got))
+    np.testing.assert_allclose(np.asarray(re), M @ v, atol=1e-6)
     assert np.max(np.abs(np.asarray(im))) < 1e-5

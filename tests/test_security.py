@@ -10,6 +10,7 @@ import pytest
 
 from hectr_tpu.config import (
     FLAGSHIP,
+    FLAGSHIP_QP,
     MEDIUM,
     PRESETS,
     REFERENCE_HEMPC,
@@ -25,7 +26,7 @@ from hectr_tpu.ckks.security import (
 
 
 def test_production_presets_meet_128():
-    for preset in (MEDIUM, FLAGSHIP, REFERENCE_HEMPC_SECURE):
+    for preset in (MEDIUM, FLAGSHIP, FLAGSHIP_QP, REFERENCE_HEMPC_SECURE):
         rep = assert_security(preset, 128)
         assert rep.meets_128, rep
         assert rep.est_bits >= 128.0
