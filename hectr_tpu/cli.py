@@ -96,9 +96,13 @@ def cmd_cstr_mpc(args, encrypted=False):
         from hectr_tpu.ckks.keyswitch import gen_rotation_keys
         from hectr_tpu.hempc import hempc_init_state, make_hempc_regulator
 
-        preset = CKKSPreset(name="cli", logn=args.logn, slots=args.slots,
-                            scale_bits=args.scale_bits, limb_bits=25,
-                            mult_depth=args.depth)
+        if args.preset:
+            from hectr_tpu.config import PRESETS
+            preset = PRESETS[args.preset]
+        else:
+            preset = CKKSPreset(name="cli", logn=args.logn, slots=args.slots,
+                                scale_bits=args.scale_bits, limb_bits=25,
+                                mult_depth=args.depth)
         ctx = make_context(preset)
         with timed("he_keypair"):
             keys = S.keygen(ctx, jax.random.PRNGKey(args.seed))
@@ -263,6 +267,10 @@ def main(argv=None):
         "cstr-cmp", "cstr-lqr", "scaling", "security"])
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--logn", type=int, default=12)
+    ap.add_argument("--preset", default=None,
+                    help="named CKKS preset (reference-hempc, medium, "
+                         "flagship, flagship-qp, ...); overrides "
+                         "--logn/--slots/--scale-bits/--depth")
     ap.add_argument("--scale-bits", type=int, default=50)
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--depth", type=int, default=1)

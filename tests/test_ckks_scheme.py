@@ -16,8 +16,11 @@ from hectr_tpu.config import CKKSPreset
 from hectr_tpu.ckks.context import make_context
 from hectr_tpu.ckks import scheme as S
 
-# Small-but-real parameters: reference ring (logn=12), depth 2.
-PRESET = CKKSPreset(name="test", logn=12, slots=16, scale_bits=50,
+# Small-but-real parameters: depth 2 at logn=10.  Scheme semantics are
+# ring-size independent; the reference ring (logn=12) is exercised
+# end-to-end by the slow hempc differential suite, and logn=10 keeps
+# this module fast-gate-sized on 2-vCPU hosts (round-2 review #7).
+PRESET = CKKSPreset(name="test", logn=10, slots=16, scale_bits=50,
                     limb_bits=25, mult_depth=2)
 
 
