@@ -320,6 +320,53 @@ def bench_hempc_step() -> float:
     return _bench_regulator_steps(REFERENCE_HEMPC)
 
 
+def bench_hempc_batch(batch: int = 16, iters: int = 4, inner: int = 4
+                      ) -> float:
+    """AGGREGATE encrypted-MPC steps/sec for a vmapped batch of
+    independent control loops at the reference parameters -- the
+    data-parallel serving shape (SURVEY.md §2.6 batch axis).  The
+    reference is a single-threaded single-loop program; this is the
+    TPU-native capability it cannot express: one chip regulating
+    `batch` plants concurrently."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cstr_model_plant
+    from hectr_tpu.config import REFERENCE_HEMPC
+    from hectr_tpu.ckks import scheme as S
+    from hectr_tpu.ckks.context import make_context
+    from hectr_tpu.ckks.keyswitch import gen_rotation_keys
+    from hectr_tpu.hempc import hempc_init_state, make_hempc_regulator
+
+    ctx = make_context(REFERENCE_HEMPC)
+    keys = S.keygen(ctx, jax.random.PRNGKey(0))
+    rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
+    model, plant = _cstr_model_plant()
+    reg = make_hempc_regulator(ctx, keys, rot_keys, model, plant, horizon=4)
+    xr, ur = jnp.zeros(3), jnp.zeros(2)
+
+    def loop(u0, xs_seq, key):
+        def body(carry, x):
+            u, st = carry
+            u2, st2 = reg(st, x, u, xr, ur)
+            return (u2, st2), ()
+        (u, _), _ = jax.lax.scan(body, (u0, hempc_init_state(key)), xs_seq)
+        return u
+
+    f = jax.jit(jax.vmap(loop))
+    ks = jax.random.split(jax.random.PRNGKey(7), batch)
+    xs0 = jnp.zeros((batch, inner, 3))
+    u = f(jnp.zeros((batch, 2)), xs0, ks)
+    jax.block_until_ready(u)
+    seqs = [xs0 + 1e-9 * (i + 1) for i in range(iters)]
+    jax.block_until_ready(seqs)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        u = f(u, seqs[i], ks)
+    _sink(u)
+    return batch * inner * iters / (time.perf_counter() - t0)
+
+
 def bench_hempc_step_flagship() -> float:
     """Steps/sec at the FLAGSHIP scale target: logN=15, L=20 scale
     limbs, hybrid key switching (2 specials, width-2 digits) --
@@ -423,11 +470,13 @@ def main():
     # (the longest-unmeasured BASELINE config), then the cheap parity
     # gate, then the closed-loop rates.
     est = {"ntt_logn15": 60, "ctct_mult_logn14": 150, "pallas_parity": 90,
-           "hempc_step_logn12": 160, "hempc_step_logn15_L20": 240}
+           "hempc_step_logn12": 160, "hempc_batch16_logn12": 180,
+           "hempc_step_logn15_L20": 600}
     sections = [("ntt_logn15", bench_ntt_logn15),
                 ("ctct_mult_logn14", bench_ctct_mult_logn14),
                 ("pallas_parity", bench_pallas_parity),
                 ("hempc_step_logn12", bench_hempc_step),
+                ("hempc_batch16_logn12", bench_hempc_batch),
                 ("hempc_step_logn15_L20", bench_hempc_step_flagship)]
     only = os.environ.get("HECTR_BENCH_SECTIONS")
     if only:
