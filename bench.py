@@ -272,7 +272,13 @@ def _bench_regulator_steps(preset, iters: int = 6, inner: int = 8) -> float:
     `inner` closed-loop steps run inside ONE jitted lax.scan (each
     step's control output feeds the next step's uhat -- realistic AND
     amortizes remote-tunnel RPC latency); outer calls chain u through
-    distinct state sequences (memoization-proof)."""
+    distinct state sequences (memoization-proof).
+
+    Key material is threaded through jit ARGUMENTS, not closure
+    capture: captured device arrays become HLO literals, and at the
+    flagship scale the 15 rotation keys are ~69 MB each -- a ~1 GB
+    compile request the tunnel rejects with HTTP 413 (observed).  As
+    arguments they travel the device-buffer path instead."""
     import jax
     import jax.numpy as jnp
 
@@ -286,10 +292,15 @@ def _bench_regulator_steps(preset, iters: int = 6, inner: int = 8) -> float:
     keys = S.keygen(ctx, jax.random.PRNGKey(0))
     rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
     model, plant = _cstr_model_plant()
-    reg = make_hempc_regulator(ctx, keys, rot_keys, model, plant, horizon=4)
+    rot_ids = sorted(rot_keys)
+    rk_stack = jnp.stack([rot_keys[r] for r in rot_ids])
     xr, ur = jnp.zeros(3), jnp.zeros(2)
 
-    def multi(u0, xs_seq, key):
+    def multi(u0, xs_seq, key, rk_stack, sk, pk):
+        rks = {r: rk_stack[i] for i, r in enumerate(rot_ids)}
+        reg = make_hempc_regulator(ctx, S.KeySet(sk=sk, pk=pk), rks,
+                                   model, plant, horizon=4)
+
         def body(carry, x):
             u, st = carry
             u2, st2 = reg(st, x, u, xr, ur)
@@ -301,13 +312,13 @@ def _bench_regulator_steps(preset, iters: int = 6, inner: int = 8) -> float:
     f = jax.jit(multi)
     key = jax.random.PRNGKey(7)
     xs0 = jnp.zeros((inner, 3))
-    u = f(jnp.zeros(2), xs0, key)
+    u = f(jnp.zeros(2), xs0, key, rk_stack, keys.sk, keys.pk)
     jax.block_until_ready(u)
     seqs = [xs0 + 1e-9 * (i + 1) for i in range(iters)]
     jax.block_until_ready(seqs)
     t0 = time.perf_counter()
     for i in range(iters):
-        u = f(u, seqs[i], key)
+        u = f(u, seqs[i], key, rk_stack, keys.sk, keys.pk)
     _sink(u)
     return inner * iters / (time.perf_counter() - t0)
 
@@ -342,10 +353,15 @@ def bench_hempc_batch(batch: int = 16, iters: int = 4, inner: int = 4
     keys = S.keygen(ctx, jax.random.PRNGKey(0))
     rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
     model, plant = _cstr_model_plant()
-    reg = make_hempc_regulator(ctx, keys, rot_keys, model, plant, horizon=4)
+    rot_ids = sorted(rot_keys)
+    rk_stack = jnp.stack([rot_keys[r] for r in rot_ids])
     xr, ur = jnp.zeros(3), jnp.zeros(2)
 
-    def loop(u0, xs_seq, key):
+    def loop(u0, xs_seq, key, rk_stack, sk, pk):
+        rks = {r: rk_stack[i] for i, r in enumerate(rot_ids)}
+        reg = make_hempc_regulator(ctx, S.KeySet(sk=sk, pk=pk), rks,
+                                   model, plant, horizon=4)
+
         def body(carry, x):
             u, st = carry
             u2, st2 = reg(st, x, u, xr, ur)
@@ -353,16 +369,16 @@ def bench_hempc_batch(batch: int = 16, iters: int = 4, inner: int = 4
         (u, _), _ = jax.lax.scan(body, (u0, hempc_init_state(key)), xs_seq)
         return u
 
-    f = jax.jit(jax.vmap(loop))
+    f = jax.jit(jax.vmap(loop, in_axes=(0, 0, 0, None, None, None)))
     ks = jax.random.split(jax.random.PRNGKey(7), batch)
     xs0 = jnp.zeros((batch, inner, 3))
-    u = f(jnp.zeros((batch, 2)), xs0, ks)
+    u = f(jnp.zeros((batch, 2)), xs0, ks, rk_stack, keys.sk, keys.pk)
     jax.block_until_ready(u)
     seqs = [xs0 + 1e-9 * (i + 1) for i in range(iters)]
     jax.block_until_ready(seqs)
     t0 = time.perf_counter()
     for i in range(iters):
-        u = f(u, seqs[i], ks)
+        u = f(u, seqs[i], ks, rk_stack, keys.sk, keys.pk)
     _sink(u)
     return batch * inner * iters / (time.perf_counter() - t0)
 

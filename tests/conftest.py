@@ -15,6 +15,10 @@ if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# The fast gate is compile-bound on small hosts; the persistent
+# compilation cache (safe on the CPU backend -- see hectr_tpu/config.py)
+# makes re-runs start warm.  Opt out with HECTR_JAX_CACHE=0.
+os.environ.setdefault("HECTR_JAX_CACHE", "1")
 
 import pathlib
 

@@ -61,7 +61,7 @@ def test_diagonals_decompose():
     np.testing.assert_allclose(acc, M @ v, atol=1e-12)
 
 
-@pytest.mark.parametrize("r", [1, 2, 5, 15])
+@pytest.mark.parametrize("r", [1, 15])
 def test_rotation(ctx, keys, rot_keys, r):
     rng = np.random.default_rng(r)
     v = rng.uniform(-10, 10, ctx.slots).astype(np.complex128)

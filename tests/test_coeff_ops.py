@@ -30,11 +30,24 @@ def ctx():
     return make_context(PRESET)
 
 
-@pytest.fixture(scope="module", params=[2, 8])
-def ops(ctx, request):
-    d = request.param
-    mesh = Mesh(np.array(jax.devices()[:d]), ("coeff",))
+@pytest.fixture(scope="module")
+def ops(ctx):
+    mesh = Mesh(np.array(jax.devices()[:8]), ("coeff",))
     return CoeffOps(ctx, mesh)
+
+
+def test_sharded_ntt_roundtrip_two_devices(ctx):
+    """D=2 boundary (exactly one cross-shard butterfly stage) -- the
+    full-mesh fixture covers D=8; keeping this one case cheap instead
+    of double-instantiating every module fixture."""
+    mesh = Mesh(np.array(jax.devices()[:2]), ("coeff",))
+    ops2 = CoeffOps(ctx, mesh)
+    k = ctx.max_limbs
+    a = _rand_poly(ctx, k, 7)
+    t = ctx.tables(k)
+    got = np.asarray(ops2.ntt(jnp.asarray(a)))
+    np.testing.assert_array_equal(got, np.asarray(ntt(jnp.asarray(a), t)))
+    np.testing.assert_array_equal(np.asarray(ops2.intt(jnp.asarray(got))), a)
 
 
 def _rand_poly(ctx, k, seed):

@@ -2,13 +2,13 @@
 sequence (hectr_simulate's crypto setup + ctr_hempc's op chain)."""
 
 import numpy as np
+import pytest
 
 from hectr_tpu import he
 
 
-def test_reference_call_sequence():
-    # src/ctr.c:510-532 setup shape
-    hc = he.hectx_init(logn=12, logq=109, slots=16, delta_bits=50)
+def _call_sequence(logn, logq):
+    hc = he.hectx_init(logn=logn, logq=logq, slots=16, delta_bits=50)
     he.he_keypair(hc)
     he.he_genrk(hc)
 
@@ -44,3 +44,16 @@ def test_reference_call_sequence():
     # the reference's decode noise canary (src/ctr.c:493-494)
     assert np.max(np.abs(got.imag)) < 1e-5
     he.hectx_exit(hc)
+
+
+def test_reference_call_sequence():
+    """Same call chain at logn=10 -- the fast-gate variant (facade
+    semantics are ring-size independent)."""
+    _call_sequence(logn=10, logq=109)
+
+
+@pytest.mark.slow
+def test_reference_call_sequence_exact_params():
+    """The reference's exact setup shape: logn=12, q=2^109
+    (src/ctr.c:510-532)."""
+    _call_sequence(logn=12, logq=109)

@@ -36,7 +36,7 @@ def naive_negacyclic(a_obj, b_obj, p):
     return np.array([int(x) % p for x in out], dtype=object)
 
 
-@pytest.mark.parametrize("logn", [4, 8, 12])
+@pytest.mark.parametrize("logn", [4, 12])
 def test_ntt_roundtrip(logn):
     n = 1 << logn
     primes = tuple(find_ntt_primes(30, 3, 2 * n))
