@@ -123,8 +123,9 @@ def _gadget(ctx: CKKSContext) -> np.ndarray:
 @functools.partial(jax.jit, static_argnums=0)
 def _gen_switching_key(ctx: CKKSContext, sk_full: jnp.ndarray,
                        s_prime: jnp.ndarray, key) -> jnp.ndarray:
-    """Key switching s' -> s.  Returns uint32 [dnum, 2, K+S, N] (NTT
-    domain over the full data chain + special primes).
+    """Key switching s' -> s.  Returns uint32 [dnum, 4, K+S, N] (NTT
+    domain over the full data chain + special primes; axis-1 rows
+    0:2 = (b, a), 2:4 = their Shoup companions).
 
     sk_full, s_prime: [K+S(+...), N] NTT-domain secrets over the full
     chain.  Vectorized over digits (no per-digit Python loop) and
@@ -153,7 +154,16 @@ def _gen_switching_key(ctx: CKKSContext, sk_full: jnp.ndarray,
     b = sub_mod(e_ntt, mul_mod(a, s_full[None], t.p, t.mu, t.k), t.p)
     gterm = mul_mod(s_prime[None, :lf], gad, t.p, t.mu, t.k)
     b = add_mod(b, gterm, t.p)
-    return jnp.stack([b, a], axis=1)                      # [dnum, 2, lf, N]
+    ba = jnp.stack([b, a], axis=1)                        # [dnum, 2, lf, N]
+    # Shoup companions floor(w * 2^32 / p), computed ONCE at keygen so
+    # the key-switch inner product runs in pure u32 (a u64-Barrett
+    # product per key element otherwise -- ~4x on 32-bit vector units).
+    # Rows 2:4 of axis 1; every slice along digits/limb rows is
+    # agnostic to the doubling.
+    p_b = jnp.asarray(pcol)[None, None]                   # [1,1,lf,1]
+    sh = ((ba.astype(jnp.uint64) << jnp.uint64(32)) // p_b
+          ).astype(jnp.uint32)
+    return jnp.concatenate([ba, sh], axis=1)              # [dnum, 4, lf, N]
 
 
 def gen_relin_key(ctx: CKKSContext, keys: KeySet, key) -> jnp.ndarray:
@@ -165,9 +175,10 @@ def gen_relin_key(ctx: CKKSContext, keys: KeySet, key) -> jnp.ndarray:
 
 
 def _key_bytes(ctx: CKKSContext) -> int:
-    """Size of one switching key in bytes (uint32 residues)."""
+    """Size of one switching key in bytes (uint32 residues; the factor
+    4 on axis 1 = (b, a) plus their Shoup companions)."""
     lf = ctx.max_limbs + len(ctx.special_primes)
-    return ctx.dnum(ctx.max_limbs) * 2 * lf * ctx.n * 4
+    return ctx.dnum(ctx.max_limbs) * 4 * lf * ctx.n * 4
 
 
 def gen_rotation_keys(ctx: CKKSContext, keys: KeySet, key,
@@ -258,11 +269,16 @@ def _inner_product(ctx: CKKSContext, digits: jnp.ndarray,
                    ksk: jnp.ndarray, k: int,
                    sliced: bool = False) -> jnp.ndarray:
     """sum_j digits[j] * ksk[j] over the extended modulus.
-    digits [dnum, k+S, N]; ksk sliced to this level -> [2, k+S, N].
-    Pass sliced=True when ksk is already [dnum, 2, k+S, N]."""
+    digits [dnum, k+S, N]; ksk sliced to this level ->
+    [dnum, 4, k+S, N] (rows 0:2 key, 2:4 Shoup companions).  The
+    per-element product is pure-u32 Shoup (companions precomputed at
+    keygen); one u64 sum + Barrett pass closes the digit axis."""
+    from hectr_tpu.ckks.modmath import mul_mod_shoup_u32
+
     tks = ctx.tables_ks(k)
     ksk_l = ksk if sliced else slice_key(ctx, ksk, k)
-    prod = mul_mod(digits[:, None, :, :], ksk_l, tks.p, tks.mu, tks.k)
+    prod = mul_mod_shoup_u32(digits[:, None, :, :], ksk_l[:, :2],
+                             ksk_l[:, 2:], tks.p32)
     return sum_mod(prod, 0, tks.p, tks.mu, tks.k)         # [2, k+S, N]
 
 
