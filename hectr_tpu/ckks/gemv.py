@@ -163,8 +163,21 @@ def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict,
 # ---------------------------------------------------------------------------
 
 
+def _pt_shoup(pt_data: jnp.ndarray, k: int, ctx: CKKSContext) -> jnp.ndarray:
+    """Shoup companions floor(pt * 2^32 / p) for static diagonal
+    plaintexts -- computed once at closure build (or once per outer
+    trace when the closure is built inside one), so the per-rotation
+    ct x pt multiplies run in pure u32."""
+    p = jnp.asarray(ctx.primes_col(k).reshape(
+        (1,) * (pt_data.ndim - 2) + (k, 1)))
+    return ((pt_data.astype(jnp.uint64) << jnp.uint64(32)) // p
+            ).astype(jnp.uint32)
+
+
 def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
                     k: int, rot_keys: dict):
+    from hectr_tpu.ckks.modmath import mul_mod_shoup_u32
+
     s = ctx.slots
     pair = ctx.pair_scale(k)
     vri = jnp.asarray(np.stack([
@@ -180,8 +193,9 @@ def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
             eval_permutation(ctx.n, galois_element(r, ctx.n))
             for r in rot_active]))
         ksk_stack = jnp.stack([slice_key(ctx, rot_keys[r], k)
-                               for r in rot_active])   # [R, dnum, 2, k+S, N]
+                               for r in rot_active])   # [R, dnum, 4, k+S, N]
         pt_stack = jnp.stack([pts[r].data for r in rot_active])  # [R, k, N]
+        pt_sh_stack = _pt_shoup(pt_stack, k, ctx)
     t = ctx.tables(k)
 
     def apply(ct: Ciphertext) -> Ciphertext:
@@ -195,18 +209,19 @@ def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
             c0 = ct.data[0]
 
             def body(carry, inp):
-                perm, pt_data, ksk = inp
+                perm, pt_data, pt_sh, ksk = inp
                 dig_r = digits[..., perm]
                 ks_ext = _inner_product(ctx, dig_r, ksk, k, sliced=True)
                 ks = _mod_down_special(ctx, ks_ext, k)      # [2, k, N]
                 c0r = c0[..., perm]
-                term0 = mul_mod(add_mod(c0r, ks[0], t.p), pt_data,
-                                t.p, t.mu, t.k)
-                term1 = mul_mod(ks[1], pt_data, t.p, t.mu, t.k)
+                term0 = mul_mod_shoup_u32(add_mod(c0r, ks[0], t.p),
+                                          pt_data, pt_sh, t.p32)
+                term1 = mul_mod_shoup_u32(ks[1], pt_data, pt_sh, t.p32)
                 carry = add_mod(carry, jnp.stack([term0, term1]), t.p)
                 return carry, None
 
-            acc, _ = jax.lax.scan(body, acc, (perms, pt_stack, ksk_stack))
+            acc, _ = jax.lax.scan(
+                body, acc, (perms, pt_stack, pt_sh_stack, ksk_stack))
         out = Ciphertext(data=acc, scale=ct.scale * pair)
         return rescale_pair(ctx, out)
 

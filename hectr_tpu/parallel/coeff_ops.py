@@ -304,6 +304,9 @@ class CoeffOps:
         resc = self._rescale_fn(k)
 
         def run(data, *flat):
+            from hectr_tpu.ckks.gemv import _pt_shoup
+            from hectr_tpu.ckks.modmath import mul_mod_shoup_u32
+
             n_r = len(rot_active)
             perms_l = flat[:n_r]
             pt_l = flat[n_r:2 * n_r]
@@ -318,9 +321,11 @@ class CoeffOps:
                 for perm, pt_data, ksk in zip(perms_l, pt_l, ksk_l):
                     dig_r = digits[..., perm]
                     ks = ksa(dig_r, ksk)
-                    term0 = mul_mod(add_mod(c0[..., perm], ks[0], t.p),
-                                    pt_data, t.p, t.mu, t.k)
-                    term1 = mul_mod(ks[1], pt_data, t.p, t.mu, t.k)
+                    pt_sh = _pt_shoup(pt_data, k, ctx)
+                    term0 = mul_mod_shoup_u32(
+                        add_mod(c0[..., perm], ks[0], t.p),
+                        pt_data, pt_sh, t.p32)
+                    term1 = mul_mod_shoup_u32(ks[1], pt_data, pt_sh, t.p32)
                     acc = add_mod(acc, jnp.stack([term0, term1]), t.p)
             return resc(acc)
 
