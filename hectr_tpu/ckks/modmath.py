@@ -113,19 +113,23 @@ def mul_mod_shoup(a, w, w_shoup, p):
 
 
 def mul_mod_shoup_wide(a, w, w_shoup, p):
-    """(a * w) mod p with w' = floor(w*2^32/p), for a < 2^32 NOT
+    """(a * w) mod p with w' = floor(w*2^32/p), for a < 2^31 NOT
     necessarily reduced mod p (base conversion multiplies residues of
     one prime by constants mod a *different, possibly smaller* prime --
     Barrett mul_mod is out of domain there: its bound needs ab < ~p^2).
 
     Error analysis: q >= a*w/p - a/2^32 - 1, so r < p*(a/2^32 + 2)
     < 3p for a < 2^32 -> two conditional subtracts suffice.
+
+    Evaluated on the pure-u32 path (every caller passes residues of
+    < 2^30 primes, within _mulhi32's a < 2^31 domain; the true
+    remainder < 3p < 2^32 so wrapping-u32 arithmetic is exact).
     """
-    a64 = a.astype(U64)
-    q = (a64 * w_shoup) >> jnp.uint64(32)
-    r = a64 * w - q * p
-    r = jnp.where(r >= p, r - p, r)
-    return jnp.where(r >= p, r - p, r).astype(U32)
+    q = _mulhi32(a.astype(U32), w_shoup.astype(U32))
+    p32 = p.astype(U32)
+    r = a.astype(U32) * w.astype(U32) - q * p32
+    r = jnp.where(r >= p32, r - p32, r)
+    return jnp.where(r >= p32, r - p32, r)
 
 
 # ---------------------------------------------------------------------------
