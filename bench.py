@@ -397,7 +397,7 @@ def bench_hempc_step_flagship() -> float:
 # tunnel window) -- vs_baseline compares against these.  Round 1's ntt
 # number (1,259,567/s) was memoization-inflated (see module docstring)
 # and is deliberately not a base.
-_BEST_TPU = {"ntt_logn15": 84227.0, "ctct_mult_logn14": 28.95,
+_BEST_TPU = {"ntt_logn15": 84227.0, "ctct_mult_logn14": 30.42,
              "hempc_step_logn12": 251.87}
 
 
