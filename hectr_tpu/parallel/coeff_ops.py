@@ -217,12 +217,16 @@ class CoeffOps:
         fwd_data = local_ntt_fns(t, self.axis, self.D)[0]
 
         def local(digits, ksk):
-            from hectr_tpu.ckks.modmath import mul_mod_shoup_u32
+            from hectr_tpu.ckks.modmath import mul_mod, mul_mod_shoup_u32
 
             # ksk rows 0:2 = key, 2:4 = Shoup companions (see
-            # keyswitch._gen_switching_key): pure-u32 inner product
-            prod = mul_mod_shoup_u32(digits[:, None], ksk[:, :2],
-                                     ksk[:, 2:], tks.p32)
+            # keyswitch._gen_switching_key): pure-u32 inner product;
+            # compact keys (axis-1 size 2) fall back to u64-Barrett
+            if ksk.shape[1] == 4:
+                prod = mul_mod_shoup_u32(digits[:, None], ksk[:, :2],
+                                         ksk[:, 2:], tks.p32)
+            else:
+                prod = mul_mod(digits[:, None], ksk, tks.p, tks.mu, tks.k)
             acc = sum_mod(prod, 0, tks.p, tks.mu, tks.k)    # [2, k+S, C]
             last = inv_sp(acc[..., k:, :])                  # [2, S, C]
             ext = fwd_data(base_convert(last, bc))          # [2, k, C]

