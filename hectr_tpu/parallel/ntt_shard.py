@@ -167,6 +167,94 @@ def ppermute_bytes_per_transform(n: int, limbs: int, D: int) -> int:
     return int(np.log2(D)) * (n // D) * 4 * limbs
 
 
+# Measured single-chip fused-kernel cost (v5e via the axon tunnel,
+# DESIGN.md §5.1, 2026-08-21): 7.9 us per limb-NTT at logN=15, scaling
+# ~ N log N.  Published v5e ICI: 2D torus, 4 links/chip, ~45 GB/s
+# one-way per link (jax-ml.github.io/scaling-book hardware table).
+_T_LIMB_NTT_LOGN15_US = 7.9
+_V5E_ICI_GBPS = 45.0
+
+
+def analytic_ici_efficiency(logn: int, limbs: int, D: int,
+                            bw_gbs: float = _V5E_ICI_GBPS,
+                            t_limb_us: float | None = None,
+                            latency_us: float = 2.0) -> dict:
+    """Predicted coefficient-sharded NTT scaling efficiency on real ICI
+    (VERDICT r3 #3): the virtual-CPU-mesh measurement cannot speak for
+    the target hardware, but the model's inputs are all measured or
+    published, so the prediction is checkable arithmetic:
+
+      T_comp(D) = limbs * t_limb(logn) / D          (kernel is
+                  compute-bound at ~33/820 GB/s of HBM, so compute
+                  divides cleanly with the coefficient shard)
+      T_comm(D) = log2(D) * (latency + (n/D)*4B*limbs / bw)
+                  (each cross-shard butterfly stage is ONE paired
+                  neighbor ppermute of the full local chunk -- the
+                  butterfly-minimum traffic, see module docstring)
+      eff(D)    = T_comp(D) / (T_comp(D) + T_comm(D))
+
+    t_limb defaults to the measured 7.9 us at logN=15 scaled by
+    (N log N); bw is one ICI link's one-way bandwidth (each stage
+    exchange is a disjoint neighbor pairing, so per-link bandwidth is
+    the right denominator on a torus).  No overlap of compute with
+    communication is assumed (conservative: the local stages of chunk
+    j+1 could hide the exchange of chunk j when batching).
+
+    NOTE this models sharding ONE transform's coefficient axis -- the
+    latency-bound regime.  Throughput workloads shard the limb/batch
+    axes first (embarrassingly parallel, no in-transform communication,
+    efficiency ~= 1.0 until limbs*batch < D); coefficient sharding is
+    for when a single ring must not fit (or must not wait) on one chip.
+    """
+    n = 1 << logn
+    if t_limb_us is None:
+        base_n = 1 << 15
+        t_limb_us = (_T_LIMB_NTT_LOGN15_US
+                     * (n * logn) / (base_n * 15))
+    t_comp = limbs * t_limb_us / D
+    if D <= 1:
+        return {"D": D, "efficiency": 1.0, "t_comp_us": t_comp,
+                "t_comm_us": 0.0}
+    bytes_per_stage = (n // D) * 4 * limbs
+    t_comm = int(np.log2(D)) * (latency_us + bytes_per_stage
+                                / (bw_gbs * 1e3))  # GB/s -> B/us
+    return {"D": D, "efficiency": round(t_comp / (t_comp + t_comm), 4),
+            "t_comp_us": round(t_comp, 2), "t_comm_us": round(t_comm, 2),
+            "bytes_per_device": ppermute_bytes_per_transform(n, limbs, D)}
+
+
+def ici_efficiency_table(limbs: int = 22,
+                         logns=(15, 16, 17),
+                         Ds=(2, 4, 8)) -> dict:
+    """The prediction grid + the 70%-crossover statement emitted into
+    the MULTICHIP record (BASELINE north star: >=70% at 2+ hosts).
+    The multi-HOST (DCN) road to >=70% is the batch/limb axes -- zero
+    in-transform traffic, predicted ~1.0 -- with coefficient sharding
+    kept intra-host on ICI, where this table says how far it pays."""
+    grid = {}
+    crossover = []
+    for logn in logns:
+        row = {}
+        for D in Ds:
+            e = analytic_ici_efficiency(logn, limbs, D)
+            row[f"{D}dev"] = e["efficiency"]
+            if e["efficiency"] >= 0.70:
+                crossover.append(f"logN={logn},D={D}")
+        grid[f"logn{logn}"] = row
+    return {
+        "model": ("eff = T_comp/(T_comp+T_comm); T_comp = limbs*t_limb"
+                  "(logn)/D with measured t_limb(15) = 7.9 us; T_comm "
+                  "= log2(D)*(2 us + (N/D)*4B*limbs / 45 GB/s ICI "
+                  "link, v5e)"),
+        "limbs": limbs,
+        "predicted_efficiency": grid,
+        "meets_70pct": crossover,
+        "note": ("coefficient sharding of a single transform; "
+                 "limb/batch sharding has no in-transform comm and "
+                 "predicts ~1.0 -- that is the >=70% multi-host path"),
+    }
+
+
 def make_sharded_ntt(t: NTTTables, mesh: Mesh, axis: str = "limb"):
     """Build (ntt_fn, intt_fn) operating on [L, N] arrays whose LAST
     axis is sharded over `axis` of the mesh.  D must divide N with

@@ -41,3 +41,31 @@ def test_sharded_ntt_matches_unsharded(mesh, logn):
     got_inv = np.asarray(intt_fn(aj))
     want_inv = np.asarray(intt(aj, t))
     np.testing.assert_array_equal(got_inv, want_inv)
+
+
+def test_analytic_ici_efficiency_model():
+    """The ICI prediction (VERDICT r3 #3) is checkable arithmetic:
+    measured t_limb=7.9us at logN=15, v5e 45 GB/s link, 2us latency."""
+    from hectr_tpu.parallel.ntt_shard import (
+        analytic_ici_efficiency, ici_efficiency_table,
+        ppermute_bytes_per_transform)
+
+    assert analytic_ici_efficiency(15, 22, 1)["efficiency"] == 1.0
+    e2 = analytic_ici_efficiency(15, 22, 2)
+    # hand check: T_comp = 22*7.9/2 = 86.9us; bytes = 16384*4*22 =
+    # 1.442MB; T_comm = 2 + 1442816/45000 = 34.06us; eff = 0.718
+    assert abs(e2["t_comp_us"] - 86.9) < 0.1
+    assert abs(e2["t_comm_us"] - 34.06) < 0.2
+    assert 0.70 < e2["efficiency"] < 0.74
+    assert e2["bytes_per_device"] == ppermute_bytes_per_transform(
+        1 << 15, 22, 2)
+    # efficiency falls with D (comm amortizes worse than compute)
+    e4 = analytic_ici_efficiency(15, 22, 4)
+    e8 = analytic_ici_efficiency(15, 22, 8)
+    assert e2["efficiency"] > e4["efficiency"] > e8["efficiency"]
+    # and rises with N at fixed D (compute N log N vs comm N)
+    assert (analytic_ici_efficiency(16, 22, 2)["efficiency"]
+            > e2["efficiency"])
+    tab = ici_efficiency_table(limbs=22)
+    assert "logN=15,D=2" in tab["meets_70pct"]
+    assert tab["predicted_efficiency"]["logn15"]["2dev"] == e2["efficiency"]
