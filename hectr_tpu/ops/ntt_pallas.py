@@ -159,6 +159,80 @@ def _pallas_tables(n: int, primes: tuple[int, ...]):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _grouped_tables(n: int, primes: tuple[int, ...], gl: int, gb: int):
+    """Multi-row grid batching (VERDICT r3 #4 lever 1): stack gl limbs
+    x gb batch rows = one grid program, amortizing per-program setup
+    (grid scheduling, block DMA latency, per-stage mask iotas) across
+    RG = gb*gl*R sublane rows.
+
+    Stacking whole transforms along the sublane axis is numerics-safe:
+    at a row stage with butterfly distance hr < R, a u-position row r
+    has bit hr CLEAR so its partner r+hr stays inside the same R-block
+    (no carry), and a v-position has it SET so r-hr does too; the roll
+    wrap-around only ever lands on positions the mask routes to the
+    other branch -- exactly the single-transform argument, and the
+    (row & hr) mask keeps working because the b,l bits sit above
+    log2(R).  Twiddle columns are tiled to RG rows (limb-major inside a
+    group, then gb-fold batch tile); the per-limb prime becomes a VMEM
+    column so different primes coexist in one program."""
+    base = _pallas_tables(n, primes)
+    L = len(primes)
+    assert L % gl == 0, (L, gl)
+    Lg = L // gl
+    R = base["R"]
+    RG = gb * gl * R
+
+    def regroup(tab_l):                   # [L, s, R, 1] -> [Lg, s, RG, 1]
+        s = tab_l.shape[1]
+        g = tab_l.reshape(Lg, gl, s, R, 1).transpose(0, 2, 1, 3, 4)
+        g = g.reshape(Lg, s, gl * R, 1)
+        return np.tile(g, (1, 1, gb, 1))
+
+    def regroup_lane(tab_l):              # [L, s, 1, 128] -> [Lg, s, RG, 128]?
+        # lane rows are R-independent: broadcast per limb then tile --
+        # keep them [Lg, s, gl, 1, 128] and expand in-kernel?  Simpler:
+        # rows within a limb share the same [1,128] row; tile to RG.
+        s = tab_l.shape[1]
+        g = tab_l.reshape(Lg, gl, s, 1, LANES).transpose(0, 2, 1, 3, 4)
+        g = np.broadcast_to(g, (Lg, s, gl, R, LANES))
+        g = g.reshape(Lg, s, gl * R, LANES)
+        return np.tile(g, (1, 1, gb, 1))
+
+    pcol = np.repeat(np.array(primes, dtype=np.uint32).reshape(Lg, gl),
+                     R, axis=1).reshape(Lg, gl * R, 1)
+    pcol = np.tile(pcol, (1, gb, 1))
+    ninv = np.repeat(base["ninv"][:, 0].reshape(Lg, gl), R,
+                     axis=1).reshape(Lg, gl * R, 1)
+    ninv = np.tile(ninv, (1, gb, 1))
+    ninv_sh = np.repeat(base["ninv_sh"][:, 0].reshape(Lg, gl), R,
+                        axis=1).reshape(Lg, gl * R, 1)
+    ninv_sh = np.tile(ninv_sh, (1, gb, 1))
+    G = gb * gl
+    pcol3 = np.tile(np.array(primes, dtype=np.uint32
+                             ).reshape(Lg, gl, 1, 1), (1, gb, 1, 1))
+    out = dict(
+        pcol=pcol, pcol3=pcol3, ninv_col=ninv, ninv_col_sh=ninv_sh,
+        sr=base["sr"], sl=base["sl"], R=R, RG=RG, gl=gl, gb=gb,
+        G=G, Lg=Lg,
+    )
+    for name in ("fwd_row", "fwd_row_sh", "inv_row", "inv_row_sh",
+                 "fwd_lB", "fwd_lB_sh", "inv_lB", "inv_lB_sh"):
+        out[name] = regroup(base[name])
+    for name in ("fwd_lA", "fwd_lA_sh", "inv_lA", "inv_lA_sh"):
+        # lane-stage A rows broadcast across sublane rows but differ
+        # per LIMB: keep them compact as [Lg, s, G, 1, 128] (G = gb*gl
+        # row-groups, limb-minor) and apply them on the [G, R, 128]
+        # view in-kernel -- expanding to RG rows would cost MBs of
+        # VMEM per table for no information
+        tab_l = base[name]
+        s = tab_l.shape[1]
+        g = tab_l.reshape(Lg, gl, s, 1, LANES).transpose(0, 2, 1, 3, 4)
+        g = np.tile(g, (1, 1, gb, 1, 1))      # [Lg, s, G, 1, 128]
+        out[name] = np.ascontiguousarray(g)
+    return out
+
+
 def _stage_mask(R: int, half: int) -> jnp.ndarray:
     """is-u-position mask for butterfly distance `half` (elements).
     Bitwise AND on int32 iota: div/mod and unsigned iota recurse in
@@ -187,87 +261,128 @@ def _rolls(x, half: int, R: int):
     return (_roll_u32(x, LANES - half, 1), _roll_u32(x, half, 1))
 
 
-def _fwd_kernel(sr: int, sl: int, R: int,
-                p_ref, wrow_ref, wrow_sh_ref, wlA_ref, wlA_sh_ref,
-                wlB_ref, wlB_sh_ref, x_ref, o_ref):
+def _lane_mul(x, wA_ref, wA_sh_ref, p3, s: int, G: int, R: int):
+    """Lane-stage A multiply on the [G, R, 128] view: the A row differs
+    per limb (per row-group) but broadcasts across the group's R rows."""
+    x3 = x.reshape(G, R, LANES)
+    xa = mul_mod_shoup_u32_lazy(x3, wA_ref[0, s], wA_sh_ref[0, s], p3)
+    return xa.reshape(G * R, LANES)
+
+
+def _fwd_kernel(sr: int, sl: int, R: int, G: int,
+                pcol_ref, p3_ref, wrow_ref, wrow_sh_ref,
+                wlA_ref, wlA_sh_ref, wlB_ref, wlB_sh_ref, x_ref, o_ref):
     """Lazy-reduction butterflies: values live in [0, 2p) across all
     stages (inputs arrive < p < 2p; Shoup products land < 2p with NO
     correction; add/sub wrap mod 2p), one normalize at the end -- the
     kernel is VPU compute-bound (DESIGN.md §5.1), so the removed
-    correction selects are direct wins."""
-    x = x_ref[0, 0]                                  # [R, 128] u32
-    p = p_ref[pl.program_id(0), 0]
+    correction selects are direct wins.
+
+    The block carries G = gb*gl stacked transforms as [RG = G*R, 128]
+    sublane rows (see _grouped_tables: stacking is roll/mask-safe); the
+    modulus is a per-row VMEM column so limbs with different primes
+    share one grid program."""
+    RG = G * R
+    x = x_ref[...].reshape(RG, LANES)                # u32
+    p = pcol_ref[0]                                  # [RG, 1]
+    p3 = p3_ref[0]                                   # [G, 1, 1]
     p2 = p + p
     n = R * LANES
 
     half = n // 2
     for s in range(sr):                              # row stages
         sx = mul_mod_shoup_u32_lazy(x, wrow_ref[0, s], wrow_sh_ref[0, s], p)
-        fwd, bwd = _rolls(sx, half, R)
-        _, xb = _rolls(x, half, R)
+        fwd, bwd = _rolls(sx, half, RG)
+        _, xb = _rolls(x, half, RG)
         out_u = add_u32_lazy(x, fwd, p2)
         out_v = sub_u32_lazy(xb, sx, p2)
-        x = jnp.where(_stage_mask(R, half), out_u, out_v)
+        x = jnp.where(_stage_mask(RG, half), out_u, out_v)
         half //= 2
 
     for s in range(sl):                              # lane stages
-        xa = mul_mod_shoup_u32_lazy(x, wlA_ref[0, s], wlA_sh_ref[0, s], p)
+        xa = _lane_mul(x, wlA_ref, wlA_sh_ref, p3, s, G, R)
         sx = mul_mod_shoup_u32_lazy(xa, wlB_ref[0, s], wlB_sh_ref[0, s], p)
-        fwd, _ = _rolls(sx, half, R)
-        _, xb = _rolls(x, half, R)
+        fwd, _ = _rolls(sx, half, RG)
+        _, xb = _rolls(x, half, RG)
         out_u = add_u32_lazy(x, fwd, p2)
         out_v = sub_u32_lazy(xb, sx, p2)
-        x = jnp.where(_stage_mask(R, half), out_u, out_v)
+        x = jnp.where(_stage_mask(RG, half), out_u, out_v)
         half //= 2
 
-    o_ref[0, 0] = norm_u32(x, p)
+    o_ref[...] = norm_u32(x, p).reshape(o_ref.shape)
 
 
-def _inv_kernel(sr: int, sl: int, R: int,
-                p_ref, wrow_ref, wrow_sh_ref, wlA_ref, wlA_sh_ref,
-                wlB_ref, wlB_sh_ref, ninv_ref, ninv_sh_ref, x_ref, o_ref):
-    x = x_ref[0, 0]
-    i_limb = pl.program_id(0)
-    p = p_ref[i_limb, 0]
+def _inv_kernel(sr: int, sl: int, R: int, G: int,
+                pcol_ref, p3_ref, wrow_ref, wrow_sh_ref,
+                wlA_ref, wlA_sh_ref, wlB_ref, wlB_sh_ref,
+                ninv_ref, ninv_sh_ref, x_ref, o_ref):
+    RG = G * R
+    x = x_ref[...].reshape(RG, LANES)
+    p = pcol_ref[0]
+    p3 = p3_ref[0]
     p2 = p + p
-    n = R * LANES
 
     half = 1
     for s in range(sl):                              # lane stages first
-        v_at_u, u_at_v = _rolls(x, half, R)
+        v_at_u, u_at_v = _rolls(x, half, RG)
         out_u = add_u32_lazy(x, v_at_u, p2)
         d = sub_u32_lazy(u_at_v, x, p2)
-        da = mul_mod_shoup_u32_lazy(d, wlA_ref[0, s], wlA_sh_ref[0, s], p)
+        da = _lane_mul(d, wlA_ref, wlA_sh_ref, p3, s, G, R)
         out_v = mul_mod_shoup_u32_lazy(da, wlB_ref[0, s],
                                        wlB_sh_ref[0, s], p)
-        x = jnp.where(_stage_mask(R, half), out_u, out_v)
+        x = jnp.where(_stage_mask(RG, half), out_u, out_v)
         half *= 2
 
     for s in range(sr):                              # row stages
-        v_at_u, u_at_v = _rolls(x, half, R)
+        v_at_u, u_at_v = _rolls(x, half, RG)
         out_u = add_u32_lazy(x, v_at_u, p2)
         if s == sr - 1:                              # fold N^-1 (u branch)
-            out_u = mul_mod_shoup_u32_lazy(out_u, ninv_ref[i_limb, 0],
-                                           ninv_sh_ref[i_limb, 0], p)
+            out_u = mul_mod_shoup_u32_lazy(out_u, ninv_ref[0],
+                                           ninv_sh_ref[0], p)
         d = sub_u32_lazy(u_at_v, x, p2)
         out_v = mul_mod_shoup_u32_lazy(d, wrow_ref[0, s],
                                        wrow_sh_ref[0, s], p)
-        x = jnp.where(_stage_mask(R, half), out_u, out_v)
+        x = jnp.where(_stage_mask(RG, half), out_u, out_v)
         half *= 2
 
-    o_ref[0, 0] = norm_u32(x, p)
+    o_ref[...] = norm_u32(x, p).reshape(o_ref.shape)
 
 
-def _call(kernel_body, tab, a: jnp.ndarray, table_names: tuple[str, ...],
-          interpret: bool) -> jnp.ndarray:
+def _pick_groups(L: int, Bb: int, R: int) -> tuple[int, int]:
+    """(gl, gb): stacked limbs and batch rows per grid program.  Target
+    ~2048 sublane rows (1 MB block at 128 lanes; ~6 live stage
+    temporaries stay well under the ~16 MB VMEM) -- overridable via
+    HECTR_PALLAS_ROWS.  Groups must divide their axes; gl first (limb
+    stacking pays even at batch=1, the bench/hot-path shape)."""
+    import os
+
+    target = max(1, int(os.environ.get("HECTR_PALLAS_ROWS", "2048")) // R)
+    gl = 1
+    for c in (8, 4, 2):
+        if L % c == 0 and c <= target:
+            gl = c
+            break
+    gb = 1
+    for c in (8, 4, 2):
+        if Bb % c == 0 and c <= target // gl:
+            gb = c
+            break
+    return gl, gb
+
+
+def _call(kernel_body, tab_names_fwd_inv, a: jnp.ndarray,
+          n: int, primes: tuple[int, ...], interpret: bool) -> jnp.ndarray:
     """Shared pallas_call wrapper.  a: uint32[..., L, N].  Grid is
-    (L, batch) -- limb outermost so per-limb twiddle blocks stay
-    resident across the whole batch instead of refetching per step."""
+    (L/gl, Bb/gb) -- limb outermost so per-limb-group twiddle blocks
+    stay resident across the whole batch instead of refetching per
+    step; each program transforms gb*gl*R sublane rows (multi-row grid
+    batching, VERDICT r3 #4)."""
     L = a.shape[-2]
-    n = a.shape[-1]
-    R = tab["R"]
+    R = n // LANES
     batch = a.shape[:-2]
     Bb = int(np.prod(batch)) if batch else 1
+    gl, gb = _pick_groups(L, Bb, R)
+    tab = _grouped_tables(n, primes, gl, gb)
     x = a.reshape(Bb, L, R, LANES)
 
     # tracing the 15-stage kernel body exceeds CPython's default
@@ -279,27 +394,25 @@ def _call(kernel_body, tab, a: jnp.ndarray, table_names: tuple[str, ...],
     # with jax_enable_x64 Python-int block indices trace as i64, which
     # Mosaic rejects; index maps also must not capture constants --
     # derive int32 zeros from the (int32) grid indices instead
+    table_names = tab_names_fwd_inv
     inputs = [jnp.asarray(tab[name]) for name in table_names]
     specs = []
     for name in table_names:
         shp = tab[name].shape
         blk = (1,) + shp[1:]
-        if len(shp) == 2:                            # per-limb scalars: whole
-            specs.append(pl.BlockSpec(shp, lambda i, j: (i * 0, i * 0),
-                                      memory_space=pltpu.SMEM))
-        else:
-            nd = len(shp) - 1
-            specs.append(pl.BlockSpec(
-                blk, (lambda i, j, nd=nd: (i,) + (i * 0,) * nd),
-                memory_space=pltpu.VMEM))
+        nd = len(shp) - 1
+        specs.append(pl.BlockSpec(
+            blk, (lambda i, j, nd=nd: (i,) + (i * 0,) * nd),
+            memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        functools.partial(kernel_body, tab["sr"], tab["sl"], R),
-        grid=(L, Bb),
+        functools.partial(kernel_body, tab["sr"], tab["sl"], R, tab["G"]),
+        grid=(tab["Lg"], Bb // gb),
         in_specs=specs + [
-            pl.BlockSpec((1, 1, R, LANES), lambda i, j: (j, i, i * 0, i * 0),
+            pl.BlockSpec((gb, gl, R, LANES),
+                         lambda i, j: (j, i, i * 0, i * 0),
                          memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, R, LANES),
+        out_specs=pl.BlockSpec((gb, gl, R, LANES),
                                lambda i, j: (j, i, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bb, L, R, LANES), jnp.uint32),
@@ -313,20 +426,18 @@ def ntt_pallas(a: jnp.ndarray, t: NTTTables,
     """Forward negacyclic NTT, fused kernel.  Same contract as
     hectr_tpu.ckks.ntt.ntt: uint32[..., L, N] natural order ->
     bit-reversed NTT domain."""
-    tab = _pallas_tables(t.n, t.primes)
-    return _call(_fwd_kernel, tab, a,
-                 ("p32", "fwd_row", "fwd_row_sh",
+    return _call(_fwd_kernel,
+                 ("pcol", "pcol3", "fwd_row", "fwd_row_sh",
                   "fwd_lA", "fwd_lA_sh", "fwd_lB", "fwd_lB_sh"),
-                 interpret)
+                 a, t.n, t.primes, interpret)
 
 
 def intt_pallas(a: jnp.ndarray, t: NTTTables,
                 interpret: bool = False) -> jnp.ndarray:
     """Inverse negacyclic NTT, fused kernel (bit-reversed NTT domain ->
     natural-order coefficients, scaled by N^-1)."""
-    tab = _pallas_tables(t.n, t.primes)
-    return _call(_inv_kernel, tab, a,
-                 ("p32", "inv_row", "inv_row_sh",
+    return _call(_inv_kernel,
+                 ("pcol", "pcol3", "inv_row", "inv_row_sh",
                   "inv_lA", "inv_lA_sh", "inv_lB", "inv_lB_sh",
-                  "ninv", "ninv_sh"),
-                 interpret)
+                  "ninv_col", "ninv_col_sh"),
+                 a, t.n, t.primes, interpret)
