@@ -118,17 +118,9 @@ def _bsgs_cost(active_rot: list[int], slots: int) -> tuple[int, list[int], int]:
     return (n1 - 1) + len(giants), needed, n1
 
 
-def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict,
-              method: str = "auto"):
-    """Build an encrypted-gemv closure for a fixed matrix at a fixed
-    level (k input limbs).  All static material -- diagonal plaintexts,
-    evaluation permutations, stacked level-sliced switching keys -- is
-    materialised eagerly here, outside any trace.
-
-    method: "diag" (hoisted diagonal method, one key per nonzero
-    diagonal), "bsgs" (baby-step/giant-step, ~2*sqrt(s) keys), or
-    "auto" (fewest key switches among the methods whose keys are
-    available)."""
+def _resolve_method(ctx: CKKSContext, M: np.ndarray, rot_keys: dict,
+                    method: str):
+    """(method, diags, active) after "auto" resolution."""
     s = ctx.slots
     diags = diagonals(np.asarray(M), s)
     active = [r for r in range(s) if np.max(np.abs(diags[r])) > 0.0]
@@ -151,11 +143,59 @@ def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict,
                 f"amounts {missing}..., BSGS path needs "
                 f"{bsgs_rotations(s)[:5]}... (gen_rotation_keys(..., "
                 f"rotations=bsgs_rotations(ctx.slots)))")
+    return method, diags, active
+
+
+def make_gemv(ctx: CKKSContext, M: np.ndarray, k: int, rot_keys: dict,
+              method: str = "auto"):
+    """Build an encrypted-gemv closure for a fixed matrix at a fixed
+    level (k input limbs).  All static material -- diagonal plaintexts,
+    evaluation permutations, stacked level-sliced switching keys -- is
+    materialised eagerly here, outside any trace.
+
+    method: "diag" (hoisted diagonal method, one key per nonzero
+    diagonal), "bsgs" (baby-step/giant-step, ~2*sqrt(s) keys), or
+    "auto" (fewest key switches among the methods whose keys are
+    available).
+
+    COMPILE-TIME NOTE: when the returned closure is traced into a jit,
+    its captured arrays lower as HLO literals, which (a) bloat the
+    compile request (the flagship key stacks are ~0.1 GB/key) and
+    (b) hand XLA's constant-folder encode/slice subgraphs to execute at
+    compile time -- the dominant cost of the monolithic flagship
+    compile.  For jitted loops prefer gemv_materials + gemv_apply with
+    the materials threaded through jit ARGUMENTS."""
+    method, diags, active = _resolve_method(ctx, M, rot_keys, method)
     if method == "diag":
         return _make_gemv_diag(ctx, diags, active, k, rot_keys)
     if method == "bsgs":
         return _make_gemv_bsgs(ctx, diags, active, k, rot_keys)
     raise ValueError(f"unknown gemv method {method!r}")
+
+
+def gemv_materials(ctx: CKKSContext, M: np.ndarray, k: int,
+                   rot_keys: dict, method: str = "auto") -> dict:
+    """Materialise the static gemv operands EAGERLY as device arrays:
+    a nested pytree of arrays (top-level key "diag" or "bsgs" encodes
+    the method structurally) to thread through jit arguments into
+    gemv_apply.  Computed outside any trace so nothing here becomes an
+    HLO literal or a constant-foldable subgraph."""
+    method, diags, active = _resolve_method(ctx, M, rot_keys, method)
+    if method == "diag":
+        build = _materials_diag
+    else:
+        build = _materials_bsgs
+    return build(ctx, diags, active, k, rot_keys)
+
+
+def gemv_apply(ctx: CKKSContext, mat: dict, ct: Ciphertext) -> Ciphertext:
+    """Apply an encrypted gemv from its materials pytree (gemv_materials).
+    Traceable: call inside jit with `mat` passed as an argument -- the
+    method is encoded STRUCTURALLY (top-level key "diag" or "bsgs"), so
+    dispatch stays static under tracing."""
+    if "diag" in mat:
+        return _apply_diag(ctx, mat, ct)
+    return _apply_bsgs(ctx, mat, ct)
 
 
 # ---------------------------------------------------------------------------
@@ -174,56 +214,74 @@ def _pt_shoup(pt_data: jnp.ndarray, k: int, ctx: CKKSContext) -> jnp.ndarray:
             ).astype(jnp.uint32)
 
 
-def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
-                    k: int, rot_keys: dict):
-    from hectr_tpu.ckks.modmath import mul_mod_shoup_u32
-
+def _materials_diag(ctx: CKKSContext, diags: np.ndarray,
+                    active: list[int], k: int, rot_keys: dict) -> dict:
     s = ctx.slots
     pair = ctx.pair_scale(k)
     vri = jnp.asarray(np.stack([
         np.stack([diags[r].real, diags[r].imag]) for r in active]))
     pt_batch = _encode_batch(ctx, vri, k, pair)           # [R, k, N]
-    from hectr_tpu.ckks.scheme import Plaintext
-    pts = {r: Plaintext(data=pt_batch[i], scale=pair)
-           for i, r in enumerate(active)}
     rot_active = [r for r in active if r % s != 0]
-
+    mat: dict = {"diag": {}}
+    d = mat["diag"]
+    if 0 in active:
+        d["pt0"] = pt_batch[active.index(0)]
     if rot_active:
-        perms = jnp.asarray(np.stack([
-            eval_permutation(ctx.n, galois_element(r, ctx.n))
-            for r in rot_active]))
-        ksk_stack = jnp.stack([slice_key(ctx, rot_keys[r], k)
-                               for r in rot_active])   # [R, dnum, 4, k+S, N]
-        pt_stack = jnp.stack([pts[r].data for r in rot_active])  # [R, k, N]
-        pt_sh_stack = _pt_shoup(pt_stack, k, ctx)
+        d["rot"] = {
+            "perms": jnp.asarray(np.stack([
+                eval_permutation(ctx.n, galois_element(r, ctx.n))
+                for r in rot_active])),
+            "ksk": jnp.stack([slice_key(ctx, rot_keys[r], k)
+                              for r in rot_active]),  # [R, dnum, 4, k+S, N]
+            "pt": jnp.stack([pt_batch[active.index(r)]
+                             for r in rot_active]),   # [R, k, N]
+        }
+        d["rot"]["pt_sh"] = _pt_shoup(d["rot"]["pt"], k, ctx)
+    return mat
+
+
+def _apply_diag(ctx: CKKSContext, mat: dict, ct: Ciphertext) -> Ciphertext:
+    from hectr_tpu.ckks.modmath import mul_mod_shoup_u32
+    from hectr_tpu.ckks.scheme import Plaintext
+
+    d = mat["diag"]
+    k = ct.limbs
+    pair = ctx.pair_scale(k)
     t = ctx.tables(k)
+    if "pt0" in d:
+        acc = mul_pt(ctx, ct, Plaintext(data=d["pt0"], scale=pair)).data
+    else:
+        acc = jnp.zeros_like(ct.data)
+    if "rot" in d:
+        r = d["rot"]
+        digits = decompose_digits(ctx, ct.data[1])          # hoisted
+        c0 = ct.data[0]
+
+        def body(carry, inp):
+            perm, pt_data, pt_sh, ksk = inp
+            dig_r = digits[..., perm]
+            ks_ext = _inner_product(ctx, dig_r, ksk, k, sliced=True)
+            ks = _mod_down_special(ctx, ks_ext, k)          # [2, k, N]
+            c0r = c0[..., perm]
+            term0 = mul_mod_shoup_u32(add_mod(c0r, ks[0], t.p),
+                                      pt_data, pt_sh, t.p32)
+            term1 = mul_mod_shoup_u32(ks[1], pt_data, pt_sh, t.p32)
+            carry = add_mod(carry, jnp.stack([term0, term1]), t.p)
+            return carry, None
+
+        acc, _ = jax.lax.scan(
+            body, acc, (r["perms"], r["pt"], r["pt_sh"], r["ksk"]))
+    out = Ciphertext(data=acc, scale=ct.scale * pair)
+    return rescale_pair(ctx, out)
+
+
+def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
+                    k: int, rot_keys: dict):
+    mat = _materials_diag(ctx, diags, active, k, rot_keys)
 
     def apply(ct: Ciphertext) -> Ciphertext:
         assert ct.limbs == k, (ct.limbs, k)
-        if 0 in pts:
-            acc = mul_pt(ctx, ct, pts[0]).data
-        else:
-            acc = jnp.zeros_like(ct.data)
-        if rot_active:
-            digits = decompose_digits(ctx, ct.data[1])      # hoisted
-            c0 = ct.data[0]
-
-            def body(carry, inp):
-                perm, pt_data, pt_sh, ksk = inp
-                dig_r = digits[..., perm]
-                ks_ext = _inner_product(ctx, dig_r, ksk, k, sliced=True)
-                ks = _mod_down_special(ctx, ks_ext, k)      # [2, k, N]
-                c0r = c0[..., perm]
-                term0 = mul_mod_shoup_u32(add_mod(c0r, ks[0], t.p),
-                                          pt_data, pt_sh, t.p32)
-                term1 = mul_mod_shoup_u32(ks[1], pt_data, pt_sh, t.p32)
-                carry = add_mod(carry, jnp.stack([term0, term1]), t.p)
-                return carry, None
-
-            acc, _ = jax.lax.scan(
-                body, acc, (perms, pt_stack, pt_sh_stack, ksk_stack))
-        out = Ciphertext(data=acc, scale=ct.scale * pair)
-        return rescale_pair(ctx, out)
+        return _apply_diag(ctx, mat, ct)
 
     return apply
 
@@ -233,12 +291,11 @@ def _make_gemv_diag(ctx: CKKSContext, diags: np.ndarray, active: list[int],
 # ---------------------------------------------------------------------------
 
 
-def _make_gemv_bsgs(ctx: CKKSContext, diags: np.ndarray, active: list[int],
-                    k: int, rot_keys: dict):
+def _materials_bsgs(ctx: CKKSContext, diags: np.ndarray,
+                    active: list[int], k: int, rot_keys: dict) -> dict:
     s = ctx.slots
     n1, _n2 = bsgs_split(s)
     pair = ctx.pair_scale(k)
-    t = ctx.tables(k)
     active_set = set(active)
     groups = sorted({r // n1 for r in active})
 
@@ -255,61 +312,83 @@ def _make_gemv_bsgs(ctx: CKKSContext, diags: np.ndarray, active: list[int],
     pt_grid = _encode_batch(ctx, jnp.asarray(vri.reshape(-1, 2, s)),
                             k, pair).reshape(len(groups), n1, k, ctx.n)
 
-    baby_perms = jnp.asarray(np.stack([
-        eval_permutation(ctx.n, galois_element(b, ctx.n))
-        for b in range(1, n1)]))
-    baby_ksk = jnp.stack([slice_key(ctx, rot_keys[b], k)
-                          for b in range(1, n1)])
-
+    mat: dict = {"bsgs": {
+        "baby_perms": jnp.asarray(np.stack([
+            eval_permutation(ctx.n, galois_element(b, ctx.n))
+            for b in range(1, n1)])),
+        "baby_ksk": jnp.stack([slice_key(ctx, rot_keys[b], k)
+                               for b in range(1, n1)]),
+    }}
+    b = mat["bsgs"]
     giants = [g for g in groups if g > 0]
     if giants:
-        g_perms = jnp.asarray(np.stack([
-            eval_permutation(ctx.n, galois_element(g * n1, ctx.n))
-            for g in giants]))
-        g_ksk = jnp.stack([slice_key(ctx, rot_keys[g * n1], k)
-                           for g in giants])
-        pt_g = pt_grid[np.asarray([groups.index(g) for g in giants])]
-    has_g0 = 0 in groups
-    pt_0 = pt_grid[groups.index(0)] if has_g0 else None
+        b["giant"] = {
+            "perms": jnp.asarray(np.stack([
+                eval_permutation(ctx.n, galois_element(g * n1, ctx.n))
+                for g in giants])),
+            "ksk": jnp.stack([slice_key(ctx, rot_keys[g * n1], k)
+                              for g in giants]),
+            "pt": pt_grid[np.asarray([groups.index(g) for g in giants])],
+        }
+    if 0 in groups:
+        b["pt0"] = pt_grid[groups.index(0)]
+    return mat
+
+
+def _apply_bsgs(ctx: CKKSContext, mat: dict, ct: Ciphertext) -> Ciphertext:
+    b = mat["bsgs"]
+    k = ct.limbs
+    pair = ctx.pair_scale(k)
+    t = ctx.tables(k)
+    digits = decompose_digits(ctx, ct.data[1])              # hoisted babies
+    c0 = ct.data[0]
+
+    def baby_body(_, inp):
+        perm, ksk = inp
+        ks_ext = _inner_product(ctx, digits[..., perm], ksk, k,
+                                sliced=True)
+        ks = _mod_down_special(ctx, ks_ext, k)
+        return None, jnp.stack([add_mod(c0[..., perm], ks[0], t.p),
+                                ks[1]])
+
+    _, C_rot = jax.lax.scan(baby_body, None,
+                            (b["baby_perms"], b["baby_ksk"]))
+    C = jnp.concatenate([ct.data[None], C_rot], axis=0)     # [n1, 2, k, N]
+
+    def group_sum(ptg):
+        # sum_b C[b] * ptg[b]; products reduced, then one u64 sum +
+        # Barrett (n1 * p < 2^45, in sum_mod's domain)
+        prod = mul_mod(C, ptg[:, None], t.p, t.mu, t.k)     # [n1,2,k,N]
+        return sum_mod(prod, 0, t.p, t.mu, t.k)             # [2,k,N]
+
+    acc = group_sum(b["pt0"]) if "pt0" in b else jnp.zeros_like(ct.data)
+    if "giant" in b:
+        g = b["giant"]
+
+        def giant_body(carry, inp):
+            ptg, perm, ksk = inp
+            w = group_sum(ptg)
+            w0 = w[0][..., perm]
+            w1 = w[1][..., perm]
+            dig = decompose_digits(ctx, w1)
+            ks_ext = _inner_product(ctx, dig, ksk, k, sliced=True)
+            ks = _mod_down_special(ctx, ks_ext, k)
+            out = jnp.stack([add_mod(w0, ks[0], t.p), ks[1]])
+            return add_mod(carry, out, t.p), None
+
+        acc, _ = jax.lax.scan(giant_body, acc,
+                              (g["pt"], g["perms"], g["ksk"]))
+    out = Ciphertext(data=acc, scale=ct.scale * pair)
+    return rescale_pair(ctx, out)
+
+
+def _make_gemv_bsgs(ctx: CKKSContext, diags: np.ndarray, active: list[int],
+                    k: int, rot_keys: dict):
+    mat = _materials_bsgs(ctx, diags, active, k, rot_keys)
 
     def apply(ct: Ciphertext) -> Ciphertext:
         assert ct.limbs == k, (ct.limbs, k)
-        digits = decompose_digits(ctx, ct.data[1])          # hoisted babies
-        c0 = ct.data[0]
-
-        def baby_body(_, inp):
-            perm, ksk = inp
-            ks_ext = _inner_product(ctx, digits[..., perm], ksk, k,
-                                    sliced=True)
-            ks = _mod_down_special(ctx, ks_ext, k)
-            return None, jnp.stack([add_mod(c0[..., perm], ks[0], t.p),
-                                    ks[1]])
-
-        _, C_rot = jax.lax.scan(baby_body, None, (baby_perms, baby_ksk))
-        C = jnp.concatenate([ct.data[None], C_rot], axis=0)  # [n1, 2, k, N]
-
-        def group_sum(ptg):
-            # sum_b C[b] * ptg[b]; products reduced, then one u64 sum +
-            # Barrett (n1 * p < 2^45, in sum_mod's domain)
-            prod = mul_mod(C, ptg[:, None], t.p, t.mu, t.k)  # [n1,2,k,N]
-            return sum_mod(prod, 0, t.p, t.mu, t.k)          # [2,k,N]
-
-        acc = group_sum(pt_0) if has_g0 else jnp.zeros_like(ct.data)
-        if giants:
-            def giant_body(carry, inp):
-                ptg, perm, ksk = inp
-                w = group_sum(ptg)
-                w0 = w[0][..., perm]
-                w1 = w[1][..., perm]
-                dig = decompose_digits(ctx, w1)
-                ks_ext = _inner_product(ctx, dig, ksk, k, sliced=True)
-                ks = _mod_down_special(ctx, ks_ext, k)
-                out = jnp.stack([add_mod(w0, ks[0], t.p), ks[1]])
-                return add_mod(carry, out, t.p), None
-
-            acc, _ = jax.lax.scan(giant_body, acc, (pt_g, g_perms, g_ksk))
-        out = Ciphertext(data=acc, scale=ct.scale * pair)
-        return rescale_pair(ctx, out)
+        return _apply_bsgs(ctx, mat, ct)
 
     return apply
 

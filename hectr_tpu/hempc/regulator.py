@@ -22,11 +22,38 @@ import jax.numpy as jnp
 
 from hectr_tpu.ckks import scheme as S
 from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.gemv import make_gemv
+from hectr_tpu.ckks.gemv import gemv_apply, gemv_materials, make_gemv
 from hectr_tpu.ckks.scheme import KeySet
 from hectr_tpu.control.mpc import mpc_gains
 from hectr_tpu.control.simulate import LinearModel, Plant
 from hectr_tpu.control.stages import weighting_matrices
+
+
+def regulator_gains(model: LinearModel, plant: Plant, horizon: int):
+    """(K_A, K_B): the two plaintext controller gain matrices of the
+    encrypted update du = -(K_A (xhat-xr) + K_B (uhat-ur))
+    (src/hempc.c:117-196 calc_coeff, computed once, not per step)."""
+    ny, nx = np.shape(model.C)
+    nu = np.shape(model.B)[1]
+    Q, R = weighting_matrices(plant.xs, plant.us)
+    return mpc_gains(ny, nx, nu, horizon, model.A, model.B, model.C, Q, R)
+
+
+def make_hempc_gemv_materials(ctx: CKKSContext, rot_keys: dict,
+                              model: LinearModel, plant: Plant,
+                              horizon: int, method: str = "auto"):
+    """(mat_A, mat_B): the unconstrained regulator's gemv materials as
+    device-array pytrees, built EAGERLY.  Thread these through jit
+    arguments (make_hempc_regulator(..., gemv_mats=...)): closure
+    capture lowers them as HLO literals, which both bloats the remote
+    compile request and hands XLA's constant folder the encode/slice
+    subgraphs to execute at compile time -- the dominant cost of the
+    monolithic flagship compile (observed: constant-folding warnings,
+    >40 min remote compiles)."""
+    K_A, K_B = regulator_gains(model, plant, horizon)
+    k_top = ctx.max_limbs
+    return (gemv_materials(ctx, K_A, k_top, rot_keys, method=method),
+            gemv_materials(ctx, K_B, k_top, rot_keys, method=method))
 
 
 def hempc_init_state(key):
@@ -42,7 +69,8 @@ def hempc_init_state(key):
 def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
                          model: LinearModel, plant: Plant, horizon: int,
                          bounds=None, relin_key=None, qp_iters: int = 2,
-                         qp_degree: int = 7, qp_input_bound=3.0):
+                         qp_degree: int = 7, qp_input_bound=3.0,
+                         gemv_mats=None):
     """Build the encrypted regulator closure.  The regulator state is a
     jax PRNG key (fresh encryption randomness every step).
 
@@ -50,7 +78,13 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
     the regulator solves the box-constrained QP over ciphertext via
     fixed-iteration projected gradient (hectr_tpu.hempc.qp_enc) --
     capability beyond the reference, whose encrypted path is
-    unconstrained-only (src/hempc.c:216-266)."""
+    unconstrained-only (src/hempc.c:216-266).
+
+    `gemv_mats` (from make_hempc_gemv_materials, unconstrained path
+    only): precomputed gemv material pytrees, passed through jit
+    arguments by the caller -- keeps the multi-hundred-MB key/plaintext
+    stacks out of the compiled graph's literals (see the materials
+    builder's docstring)."""
     ny, nx = np.shape(model.C)
     nu = np.shape(model.B)[1]
     assert ctx.slots >= nu * horizon, (ctx.slots, nu * horizon)
@@ -84,8 +118,15 @@ def make_hempc_regulator(ctx: CKKSContext, keys: KeySet, rot_keys: dict,
     if gain_scale is not None:
         K_A = gain_scale[:, None] * K_A
         K_B = gain_scale[:, None] * K_B
-    gemv_A = make_gemv(ctx, K_A, k_top, rot_keys)
-    gemv_B = make_gemv(ctx, K_B, k_top, rot_keys)
+    if gemv_mats is not None:
+        assert gain_scale is None, \
+            "gemv_mats covers the unconstrained path only"
+        mat_A, mat_B = gemv_mats
+        gemv_A = lambda ct: gemv_apply(ctx, mat_A, ct)   # noqa: E731
+        gemv_B = lambda ct: gemv_apply(ctx, mat_B, ct)   # noqa: E731
+    else:
+        gemv_A = make_gemv(ctx, K_A, k_top, rot_keys)
+        gemv_B = make_gemv(ctx, K_B, k_top, rot_keys)
 
     def enc_vec(v, key):
         # d2z_vector parity (src/matrices.c:124-131): zero-extend the

@@ -350,13 +350,16 @@ def _inv_kernel(sr: int, sl: int, R: int, G: int,
 
 def _pick_groups(L: int, Bb: int, R: int) -> tuple[int, int]:
     """(gl, gb): stacked limbs and batch rows per grid program.  Target
-    ~2048 sublane rows (1 MB block at 128 lanes; ~6 live stage
-    temporaries stay well under the ~16 MB VMEM) -- overridable via
+    512 sublane rows (256 KB block): Mosaic's scoped-VMEM accounting
+    charges the unrolled stage chain ~60x the block size (measured: a
+    2048-row block at logN=15 tripped the 16 MB scoped limit at 60 MB),
+    so 512 rows ~ 15 MB scoped; the pallas_call also raises the
+    compiler's vmem limit knob for headroom.  Overridable via
     HECTR_PALLAS_ROWS.  Groups must divide their axes; gl first (limb
     stacking pays even at batch=1, the bench/hot-path shape)."""
     import os
 
-    target = max(1, int(os.environ.get("HECTR_PALLAS_ROWS", "2048")) // R)
+    target = max(1, int(os.environ.get("HECTR_PALLAS_ROWS", "512")) // R)
     gl = 1
     for c in (8, 4, 2):
         if L % c == 0 and c <= target:
@@ -417,6 +420,8 @@ def _call(kernel_body, tab_names_fwd_inv, a: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bb, L, R, LANES), jnp.uint32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*inputs, x)
     return out.reshape(*batch, L, n)
 

@@ -146,3 +146,31 @@ def test_compact_relin_key_bit_exact(ctx, keys):
     m_c = mul_ct(ctx, ct, ct, rk_c)
     np.testing.assert_array_equal(np.asarray(m_f.data),
                                   np.asarray(m_c.data))
+
+
+def test_gemv_materials_apply_bit_exact(ctx, keys):
+    """gemv_materials + gemv_apply (materials threaded through jit
+    ARGUMENTS -- the compile-time fix for the flagship graph: closure
+    captures lower as HLO literals that XLA constant-folds for tens of
+    minutes) must be bit-exact vs the make_gemv closures, both
+    methods."""
+    from hectr_tpu.ckks.gemv import bsgs_rotations, gemv_apply, \
+        gemv_materials, make_gemv
+
+    rk_all = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
+    rk_bs = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1),
+                              rotations=bsgs_rotations(ctx.slots))
+    M = np.random.default_rng(0).normal(size=(8, 3))
+    v = np.linspace(-1, 1, ctx.slots)
+    ct = S.encrypt(ctx, keys,
+                   S.encode(ctx, v.astype(np.complex128), ctx.max_limbs),
+                   jax.random.PRNGKey(2))
+    for rks, meth in ((rk_all, "diag"), (rk_bs, "bsgs")):
+        want = make_gemv(ctx, M, ctx.max_limbs, rks, method=meth)(ct)
+        mat = gemv_materials(ctx, M, ctx.max_limbs, rks, method=meth)
+        got = jax.jit(
+            lambda m, c: gemv_apply(
+                ctx, m, S.Ciphertext(data=c, scale=ct.scale)).data
+        )(mat, ct.data)
+        np.testing.assert_array_equal(np.asarray(want.data),
+                                      np.asarray(got), err_msg=meth)
