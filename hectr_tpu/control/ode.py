@@ -10,6 +10,7 @@ trajectories depend on them -- but expose them as pure functions over
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -38,4 +39,32 @@ def stiff_step(f, jac, x, u, p, dt):
     n = x.shape[-1]
     J = jac(x, u, p)
     A = jnp.eye(n, dtype=x.dtype) - dt * J
-    return x + dt * jnp.linalg.solve(A, f(x, u, p))
+    return x + dt * solve_dense(A, f(x, u, p))
+
+
+def solve_dense(A, b):
+    """Jittable dense solve via Gauss-Jordan with partial pivoting.
+
+    jnp.linalg.solve lowers to an LuDecomposition custom call that the
+    TPU backend only implements for f32/c64 -- the f64 control math
+    (required for the 1e-10 differential bar, DESIGN.md §3) fails to
+    compile on-chip.  Gauss-Jordan is pure elementwise/gather work,
+    which XLA's emulated f64 handles on every backend; on the
+    well-conditioned small systems of the control stack (nx <= 4 here)
+    it matches the LAPACK path to ~1e-14 relative."""
+    n = A.shape[0]
+    M = jnp.concatenate([A, b.reshape(n, -1).astype(A.dtype)], axis=1)
+
+    def body(k, M):
+        col = jnp.abs(M[:, k])
+        col = jnp.where(jnp.arange(n) < k, -jnp.inf, col)  # pivot below k
+        piv = jnp.argmax(col)
+        rk, rp = M[k], M[piv]
+        M = M.at[k].set(rp).at[piv].set(rk)
+        rowk = M[k] / M[k, k]
+        M = M.at[k].set(rowk)
+        factors = M[:, k].at[k].set(0.0)
+        return M - factors[:, None] * rowk[None, :]
+
+    M = jax.lax.fori_loop(0, n, body, M)
+    return M[:, n:].reshape(b.shape)
