@@ -974,6 +974,10 @@ def main():
             if mono and mono.get("backend") == "tpu":
                 cached_out["hempc_step_logn15_L20"]["mono_whole_loop"] = \
                     round(mono["value"], 3)
+            f41 = cache.get("hempc_41step_loop_logn15_L20")
+            if f41 and f41.get("backend") == "tpu":
+                cached_out["hempc_step_logn15_L20"]["full_41step_loop"] = \
+                    round(f41["value"], 3)
 
     # headline = best of (this run's live reading, the recorded
     # same-backend best): a degraded tunnel window must not print as a
