@@ -129,8 +129,13 @@ def _timeit_unique(fn_x_c, x0, iters=30):
     import jax
     import jax.numpy as jnp
 
-    r = fn_x_c(x0, jnp.uint32(1))
-    jax.block_until_ready(r)
+    # TWO warmup rounds, each ending in a host fetch: the first call in
+    # a process pays compile AND absorbs residual tunnel queue noise --
+    # a single warmup still left the first timed chain reading ~15x low
+    # on a loaded tunnel (observed repeatedly; the in-run retry logic
+    # recovered it, but the live reading should be healthy by itself)
+    _sink(fn_x_c(x0, jnp.uint32(1)))
+    _sink(fn_x_c(x0, jnp.uint32(1000001)))
     cs = [jnp.uint32(i + 2) for i in range(iters)]
     jax.block_until_ready(cs)
     t0 = time.perf_counter()
