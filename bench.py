@@ -276,8 +276,9 @@ def bench_ctct_mult_logn14() -> float:
     f = jax.jit(mult_batch)
     base = jnp.stack([enc(jax.random.PRNGKey(100 + j)) for j in range(B)])
     jax.block_until_ready(base)
-    r = f(base, jnp.uint32(1))
-    jax.block_until_ready(r)
+    # two warmups with host fetches (compile + residual queue noise)
+    _sink(f(base, jnp.uint32(1)))
+    _sink(f(base, jnp.uint32(1000001)))
     iters = 3
     t0 = time.perf_counter()
     rs = [f(base, jnp.uint32(2 + i)) for i in range(iters)]
@@ -348,8 +349,10 @@ def _bench_regulator_steps(preset, iters: int = 6, inner: int = 8,
     f = jax.jit(multi)
     key = jax.random.PRNGKey(7)
     xs0 = jnp.zeros((inner, 3))
-    u = f(jnp.zeros(2), xs0, key, mats, keys.sk, keys.pk)
-    jax.block_until_ready(u)
+    # two warmups with host fetches (compile + residual queue noise)
+    _sink(f(jnp.zeros(2), xs0, key, mats, keys.sk, keys.pk))
+    u = f(jnp.zeros(2), xs0 + 1e-12, key, mats, keys.sk, keys.pk)
+    _sink(u)
     seqs = [xs0 + 1e-9 * (i + 1) for i in range(iters)]
     jax.block_until_ready(seqs)
     t0 = time.perf_counter()
@@ -421,8 +424,9 @@ def bench_hempc_batch(batch: int = 16, iters: int = 4, inner: int = 4
     f = jax.jit(jax.vmap(loop, in_axes=(0, 0, 0, None, None, None)))
     ks = jax.random.split(jax.random.PRNGKey(7), batch)
     xs0 = jnp.zeros((batch, inner, 3))
-    u = f(jnp.zeros((batch, 2)), xs0, ks, mats, keys.sk, keys.pk)
-    jax.block_until_ready(u)
+    _sink(f(jnp.zeros((batch, 2)), xs0, ks, mats, keys.sk, keys.pk))
+    u = f(jnp.zeros((batch, 2)), xs0 + 1e-12, ks, mats, keys.sk, keys.pk)
+    _sink(u)
     seqs = [xs0 + 1e-9 * (i + 1) for i in range(iters)]
     jax.block_until_ready(seqs)
     t0 = time.perf_counter()
