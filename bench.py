@@ -85,8 +85,17 @@ def _cache_store(name: str, value: float, extra: dict | None = None) -> None:
         ent.update(extra)
     if prev is not None:
         ent["runs"] = prev.get("runs", 1) + 1
-        prev_wins = prev["value"] > value and not (
-            backend == "tpu" and prev.get("backend") != "tpu")
+        # a TPU record is never displaced by a non-TPU reading (CPU can
+        # out-read tunnel-latency-laden TPU numbers on small sections);
+        # a TPU reading always displaces a non-TPU record; otherwise
+        # keep the larger value (tunnel variance is additive slowdown)
+        prev_is_tpu = prev.get("backend") == "tpu"
+        if prev_is_tpu and backend != "tpu":
+            prev_wins = True
+        elif backend == "tpu" and not prev_is_tpu:
+            prev_wins = False
+        else:
+            prev_wins = prev["value"] > value
         if prev_wins:
             keep = {k: v for k, v in prev.items() if k != "runs"}
             keep["last_run_value"] = round(value, 2)

@@ -188,11 +188,28 @@ def gemv_materials(ctx: CKKSContext, M: np.ndarray, k: int,
     return build(ctx, diags, active, k, rot_keys)
 
 
+def _mat_limbs(mat: dict) -> int:
+    """The limb count the materials were built for, read from the
+    encoded-plaintext STATIC shapes ([..., k, N]) -- usable under
+    tracing, where an int leaf in the jit-arg pytree would not be."""
+    if "diag" in mat:
+        d = mat["diag"]
+        arr = d["pt0"] if "pt0" in d else d["rot"]["pt"]
+    else:
+        b = mat["bsgs"]
+        arr = b["pt0"] if "pt0" in b else b["giant"]["pt"]
+    return arr.shape[-2]
+
+
 def gemv_apply(ctx: CKKSContext, mat: dict, ct: Ciphertext) -> Ciphertext:
     """Apply an encrypted gemv from its materials pytree (gemv_materials).
     Traceable: call inside jit with `mat` passed as an argument -- the
     method is encoded STRUCTURALLY (top-level key "diag" or "bsgs"), so
     dispatch stays static under tracing."""
+    k = _mat_limbs(mat)
+    assert ct.limbs == k, (
+        f"ciphertext at {ct.limbs} limbs but gemv materials were built "
+        f"for {k} (mod_down_to the ciphertext or rebuild the materials)")
     if "diag" in mat:
         return _apply_diag(ctx, mat, ct)
     return _apply_bsgs(ctx, mat, ct)

@@ -56,16 +56,19 @@ class HEContext:
 
 
 def hectx_init(logn: int, logq: int, slots: int, delta_bits: int,
-               seed: int = 0, verbose: bool = True) -> HEContext:
+               seed: int = 0, verbose: bool = False) -> HEContext:
     """Initialise a CKKS context.  The reference passes q = 2^109 as a
     bignum (src/ctr.c:515-516); here logq sizes the RNS chain: depth =
     max(1, (logq - 60) // delta_bits) scale pairs over a ~2^60 base.
 
     The realized modulus is REPORTED, not silently rounded (VERDICT r3
     weak #7): the returned context carries realized_logq / realized_logqp
-    / depth / security_bits, and a one-line report is printed unless
-    verbose=False.  Callers porting GPQHE-shaped code see exactly what
-    chain their logq request produced."""
+    / depth / security_bits; pass verbose=True (or set HECTR_VERBOSE=1)
+    for a one-line stderr report.  Default is quiet: a reference-parity
+    facade must not pollute callers' stderr (scripted pipelines)."""
+    import os
+
+    verbose = verbose or os.environ.get("HECTR_VERBOSE") == "1"
     depth = max(1, (logq - 60) // delta_bits)
     preset = CKKSPreset(name=f"he-{logn}-{logq}", logn=logn, slots=slots,
                         scale_bits=delta_bits, limb_bits=25,

@@ -33,3 +33,33 @@ def test_cache_keeps_best_value(tmp_path, monkeypatch):
 
     raw = json.loads((tmp_path / "bench_cache.json").read_text())
     assert raw["ntt"]["backend"] == "testbackend"
+
+
+def test_tpu_record_never_displaced_by_cpu(tmp_path, monkeypatch):
+    """ADVICE r4 (medium): a CPU reading HIGHER than the recorded TPU
+    best must NOT replace the entry (CPU can out-read tunnel-laden TPU
+    numbers on small sections); a TPU reading always supersedes a
+    non-TPU record, even a larger one."""
+    import bench
+
+    importlib.reload(bench)
+    monkeypatch.setattr(bench, "_CACHE_PATH",
+                        str(tmp_path / "bench_cache.json"))
+
+    backend = {"v": "tpu"}
+    monkeypatch.setattr(bench, "_backend_name", lambda: backend["v"])
+    bench._cache_store("sec", 100.0)
+    backend["v"] = "cpu"
+    bench._cache_store("sec", 500.0)      # higher, but CPU
+    ent = bench._cache_load()["sec"]
+    assert ent["value"] == 100.0 and ent["backend"] == "tpu"
+    assert ent["last_run_value"] == 500.0 and ent["runs"] == 2
+
+    backend["v"] = "tpu"
+    bench._cache_store("sec2", 100.0)     # seed as cpu? no: tpu beats cpu
+    backend["v"] = "cpu"
+    bench._cache_store("sec3", 900.0)     # cpu stand-in
+    backend["v"] = "tpu"
+    bench._cache_store("sec3", 10.0)      # smaller TPU reading wins
+    ent = bench._cache_load()["sec3"]
+    assert ent["value"] == 10.0 and ent["backend"] == "tpu"

@@ -62,9 +62,11 @@ def test_reference_call_sequence_exact_params():
 def test_hectx_init_reports_realized_modulus(capsys):
     """hectx_init must report the realized chain, not silently round
     the requested logq (VERDICT r3 weak #7): the context carries
-    realized logQ/logQP + depth + security estimate, and the one-line
-    report prints them."""
-    hc = he.hectx_init(logn=10, logq=109, slots=16, delta_bits=50)
+    realized logQ/logQP + depth + security estimate, and verbose=True
+    prints the one-line report.  Default is QUIET (ADVICE r4: a
+    reference-parity facade must not pollute callers' stderr)."""
+    hc = he.hectx_init(logn=10, logq=109, slots=16, delta_bits=50,
+                       verbose=True)
     assert hc.requested_logq == 109
     assert hc.depth == max(1, (109 - 60) // 50) == 1
     # realized logQ: the actual RNS chain's bit length, within a few
@@ -74,7 +76,7 @@ def test_hectx_init_reports_realized_modulus(capsys):
     assert hc.security_bits > 0
     err = capsys.readouterr().err
     assert "realized logQ=" in err and "security" in err
-    # opt-out is silent
-    he.hectx_init(logn=10, logq=109, slots=16, delta_bits=50,
-                  verbose=False)
+    # default is silent; the realized_* fields still carry the report
+    hc2 = he.hectx_init(logn=10, logq=109, slots=16, delta_bits=50)
     assert "realized" not in capsys.readouterr().err
+    assert hc2.realized_logq == hc.realized_logq
