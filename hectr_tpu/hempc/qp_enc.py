@@ -54,7 +54,6 @@ import jax.numpy as jnp
 
 from hectr_tpu.ckks import scheme as S
 from hectr_tpu.ckks.context import CKKSContext
-from hectr_tpu.ckks.gemv import make_gemv
 from hectr_tpu.ckks.keyswitch import mul_ct
 from hectr_tpu.ckks.scheme import Ciphertext, mod_down_to
 
@@ -220,6 +219,89 @@ def pgd_limbs_required(degree: int, iters: int,
     return norm + C + iters * (2 + C)
 
 
+def _clip_build(ctx: CKKSContext, lb: np.ndarray, ub: np.ndarray,
+                k: int, domain, degree: int, denormalize: bool):
+    """Split form of the encrypted clip: returns (pts, apply) where
+    `pts` is a dict of encoded-plaintext DEVICE ARRAYS (thread through
+    jit arguments -- closure capture lowers them as HLO literals, which
+    bloats the remote compile request at the flagship scale) and
+    `apply(w_ct, pts, relin_key)` is the traceable evaluation.  The
+    exact Fraction scale schedule stays STATIC in the closure."""
+    from hectr_tpu.ckks.scheme import Plaintext
+
+    delta = ctx.delta
+    s = ctx.slots
+    d_cons = lb.shape[0]
+    mid = np.zeros(s)
+    hw = np.ones(s)
+    mid[:d_cons] = (lb + ub) / 2.0
+    hw[:d_cons] = (ub - lb) / 2.0
+    doms = np.full(s, 1.5)
+    doms[:d_cons] = np.broadcast_to(np.asarray(domain, np.float64),
+                                    (d_cons,))
+    cs_slot = clip_coeffs_per_slot(doms, degree)          # [s, nterms]
+    out_gain = hw if denormalize else np.ones(s)
+    q = {e: cs_slot[:, i] * out_gain
+         for i, e in enumerate(range(1, degree + 1, 2))}
+    out_mid = mid if denormalize else np.zeros(s)
+
+    if degree == 3:
+        # schedule: w2=w^2 (pair1), s3=q3*w2 (pair2), z=w*(q1+s3) (pair3)
+        P1, P2, P3 = (ctx.pair_scale(k - 2 * i) for i in range(3))
+        sc = {"q3": P1 * P2 * P3 / delta**2, "q1": P3, "mid": delta}
+        pts = {"q3": _const_pt(ctx, q[3], k - 2, sc["q3"]).data,
+               "q1": _const_pt(ctx, q[1], k - 4, sc["q1"]).data,
+               "mid": _const_pt(ctx, out_mid, k - 6, sc["mid"]).data}
+
+        def apply(w: Ciphertext, m, relin_key) -> Ciphertext:
+            assert w.limbs == k and w.scale == delta, (w.limbs, w.scale)
+            pt = lambda n: Plaintext(data=m[n], scale=sc[n])  # noqa: E731
+            t = S.rescale_pair(ctx, mul_ct(ctx, w, w, relin_key))
+            s3 = S.rescale_pair(ctx, S.mul_pt(ctx, t, pt("q3")))
+            s3 = S.add_pt(ctx, s3, pt("q1"))
+            z = S.rescale_pair(ctx, mul_ct(ctx, mod_down_to(ctx, w, k - 4),
+                                           s3, relin_key))
+            return S.add_pt(ctx, z, pt("mid"))               # Delta, k-6
+
+        return pts, apply
+
+    # degree 7, balanced power tree: 4 ct-ct mults, 4 rescale pairs
+    P1, P2, P3, P4 = (ctx.pair_scale(k - 2 * i) for i in range(4))
+    s_y = delta**2 / P1                         # w2 = w^2     at k-2
+    s_d3 = delta * s_y / P2                     # w3 = w*w2    at k-4
+    s_d4 = s_y**2 / P2                          # w4 = w2^2    at k-4
+    s_d5 = s_d3 * s_y / P3                      # w5 = w3*w2   at k-6
+    s_d7 = s_d3 * s_d4 / P3                     # w7 = w3*w4   at k-6
+    sc = {"q1": P4 * delta / delta, "q3": P4 * delta / s_d3,
+          "q5": P4 * delta / s_d5, "q7": P4 * delta / s_d7,
+          "mid": delta}
+    pts = {"q1": _const_pt(ctx, q[1], k - 6, sc["q1"]).data,
+           "q3": _const_pt(ctx, q[3], k - 6, sc["q3"]).data,
+           "q5": _const_pt(ctx, q[5], k - 6, sc["q5"]).data,
+           "q7": _const_pt(ctx, q[7], k - 6, sc["q7"]).data,
+           "mid": _const_pt(ctx, out_mid, k - 8, sc["mid"]).data}
+
+    def apply(w: Ciphertext, m, relin_key) -> Ciphertext:
+        assert w.limbs == k and w.scale == delta, (w.limbs, w.scale)
+        pt = lambda n: Plaintext(data=m[n], scale=sc[n])  # noqa: E731
+        w2 = S.rescale_pair(ctx, mul_ct(ctx, w, w, relin_key))  # s_y, k-2
+        w3 = S.rescale_pair(ctx, mul_ct(ctx, mod_down_to(ctx, w, k - 2),
+                                        w2, relin_key))          # s_d3, k-4
+        w4 = S.rescale_pair(ctx, mul_ct(ctx, w2, w2, relin_key))  # s_d4
+        w5 = S.rescale_pair(ctx, mul_ct(ctx, w3, mod_down_to(ctx, w2, k - 4),
+                                        relin_key))              # s_d5, k-6
+        w7 = S.rescale_pair(ctx, mul_ct(ctx, w3, w4, relin_key))  # s_d7
+        acc = S.mul_pt(ctx, mod_down_to(ctx, w, k - 6), pt("q1"))
+        acc = S.add(ctx, acc, S.mul_pt(ctx, mod_down_to(ctx, w3, k - 6),
+                                       pt("q3")))
+        acc = S.add(ctx, acc, S.mul_pt(ctx, w5, pt("q5")))
+        acc = S.add(ctx, acc, S.mul_pt(ctx, w7, pt("q7")))
+        z = S.rescale_pair(ctx, acc)                             # Delta, k-8
+        return S.add_pt(ctx, z, pt("mid"))
+
+    return pts, apply
+
+
 def make_encrypted_clip(ctx: CKKSContext, relin_key, lb: np.ndarray,
                         ub: np.ndarray, k: int, domain=2.0,
                         degree: int = 7, denormalize: bool = False):
@@ -244,71 +326,8 @@ def make_encrypted_clip(ctx: CKKSContext, relin_key, lb: np.ndarray,
     the clip is only valid for inputs within it (see pgd_domains).
     Padding slots (beyond len(lb)) get the minimum domain: they carry
     ~0 and must stay ~0 through p()."""
-    delta = ctx.delta
-    s = ctx.slots
-    d_cons = lb.shape[0]
-    mid = np.zeros(s)
-    hw = np.ones(s)
-    mid[:d_cons] = (lb + ub) / 2.0
-    hw[:d_cons] = (ub - lb) / 2.0
-    doms = np.full(s, 1.5)
-    doms[:d_cons] = np.broadcast_to(np.asarray(domain, np.float64),
-                                    (d_cons,))
-    cs_slot = clip_coeffs_per_slot(doms, degree)          # [s, nterms]
-    out_gain = hw if denormalize else np.ones(s)
-    q = {e: cs_slot[:, i] * out_gain
-         for i, e in enumerate(range(1, degree + 1, 2))}
-    out_mid = mid if denormalize else np.zeros(s)
-
-    if degree == 3:
-        # schedule: w2=w^2 (pair1), s3=q3*w2 (pair2), z=w*(q1+s3) (pair3)
-        P1, P2, P3 = (ctx.pair_scale(k - 2 * i) for i in range(3))
-        pt_q3 = _const_pt(ctx, q[3], k - 2, P1 * P2 * P3 / delta**2)
-        pt_q1 = _const_pt(ctx, q[1], k - 4, P3)
-        pt_mid = _const_pt(ctx, out_mid, k - 6, delta)
-
-        def clip(w: Ciphertext) -> Ciphertext:
-            assert w.limbs == k and w.scale == delta, (w.limbs, w.scale)
-            t = S.rescale_pair(ctx, mul_ct(ctx, w, w, relin_key))
-            s3 = S.rescale_pair(ctx, S.mul_pt(ctx, t, pt_q3))    # P3, k-4
-            s3 = S.add_pt(ctx, s3, pt_q1)
-            z = S.rescale_pair(ctx, mul_ct(ctx, mod_down_to(ctx, w, k - 4),
-                                           s3, relin_key))
-            return S.add_pt(ctx, z, pt_mid)                      # Delta, k-6
-
-        return clip
-
-    # degree 7, balanced power tree: 4 ct-ct mults, 4 rescale pairs
-    P1, P2, P3, P4 = (ctx.pair_scale(k - 2 * i) for i in range(4))
-    s_y = delta**2 / P1                         # w2 = w^2     at k-2
-    s_d3 = delta * s_y / P2                     # w3 = w*w2    at k-4
-    s_d4 = s_y**2 / P2                          # w4 = w2^2    at k-4
-    s_d5 = s_d3 * s_y / P3                      # w5 = w3*w2   at k-6
-    s_d7 = s_d3 * s_d4 / P3                     # w7 = w3*w4   at k-6
-    pt_q1 = _const_pt(ctx, q[1], k - 6, P4 * delta / delta)
-    pt_q3 = _const_pt(ctx, q[3], k - 6, P4 * delta / s_d3)
-    pt_q5 = _const_pt(ctx, q[5], k - 6, P4 * delta / s_d5)
-    pt_q7 = _const_pt(ctx, q[7], k - 6, P4 * delta / s_d7)
-    pt_mid = _const_pt(ctx, out_mid, k - 8, delta)
-
-    def clip(w: Ciphertext) -> Ciphertext:
-        assert w.limbs == k and w.scale == delta, (w.limbs, w.scale)
-        w2 = S.rescale_pair(ctx, mul_ct(ctx, w, w, relin_key))  # s_y, k-2
-        w3 = S.rescale_pair(ctx, mul_ct(ctx, mod_down_to(ctx, w, k - 2),
-                                        w2, relin_key))          # s_d3, k-4
-        w4 = S.rescale_pair(ctx, mul_ct(ctx, w2, w2, relin_key))  # s_d4, k-4
-        w5 = S.rescale_pair(ctx, mul_ct(ctx, w3, mod_down_to(ctx, w2, k - 4),
-                                        relin_key))              # s_d5, k-6
-        w7 = S.rescale_pair(ctx, mul_ct(ctx, w3, w4, relin_key))  # s_d7, k-6
-        acc = S.mul_pt(ctx, mod_down_to(ctx, w, k - 6), pt_q1)
-        acc = S.add(ctx, acc, S.mul_pt(ctx, mod_down_to(ctx, w3, k - 6),
-                                       pt_q3))
-        acc = S.add(ctx, acc, S.mul_pt(ctx, w5, pt_q5))
-        acc = S.add(ctx, acc, S.mul_pt(ctx, w7, pt_q7))
-        z = S.rescale_pair(ctx, acc)                             # Delta, k-8
-        return S.add_pt(ctx, z, pt_mid)
-
-    return clip
+    pts, apply = _clip_build(ctx, lb, ub, k, domain, degree, denormalize)
+    return lambda w: apply(w, pts, relin_key)
 
 
 def pgd_eta(H: np.ndarray, lb: np.ndarray, ub: np.ndarray,
@@ -354,6 +373,40 @@ def make_encrypted_pgd(ctx: CKKSContext, relin_key, rot_keys,
     certificate is an offline design envelope (reachable-set bound in
     MPC); keep it small: clip accuracy AND noise degrade with it.
     """
+    mats, apply, eta = make_encrypted_pgd_split(
+        ctx, relin_key, rot_keys, H, lb, ub, k_in, iters, eta=eta,
+        degree=degree, input_bound=input_bound,
+        max_iter_domain=max_iter_domain, input_kind=input_kind)
+    # one compiled graph for the whole fixed iteration (the eager path
+    # pays per-op dispatch x hundreds of modular ops on a deep chain).
+    # The materials ride as closure captures here -- fine on CPU/local
+    # backends; remote-TPU callers should use the split form directly
+    # and thread `mats` through jit arguments.
+    return jax.jit(lambda du: apply(du, mats)), eta
+
+
+def make_encrypted_pgd_split(ctx: CKKSContext, relin_key, rot_keys,
+                             H: np.ndarray, lb: np.ndarray,
+                             ub: np.ndarray, k_in: int, iters: int,
+                             eta: float | None = None, degree: int = 7,
+                             input_bound=3.0,
+                             max_iter_domain: float = 3.0,
+                             input_kind: str = "du"):
+    """Split form of make_encrypted_pgd: returns (mats, apply, eta).
+
+    `mats` is a pytree of DEVICE ARRAYS -- the relinearisation key, the
+    encoded clip/centering plaintexts, and one gemv materials pytree
+    per iteration (hectr_tpu.ckks.gemv.gemv_materials) -- meant to be
+    threaded through jit ARGUMENTS; `apply(du_ct, mats)` is the
+    traceable solver.  Closure capture of this material (the plain
+    make_encrypted_pgd) lowers it into the compiled graph as HLO
+    literals: at the FLAGSHIP_QP scale that is a multi-GB compile
+    request the remote-TPU tunnel rejects (the same lesson as the
+    unconstrained flagship's gemv materials, VERDICT r4 #1).  All exact
+    Fraction scales and level bookkeeping stay static in the closure.
+    """
+    from hectr_tpu.ckks.gemv import gemv_apply, gemv_materials
+
     if eta is None:
         eta = pgd_eta(H, lb, ub, input_bound, max_iter_domain)
     assert input_kind in ("du", "w_scaled"), input_kind
@@ -371,40 +424,51 @@ def make_encrypted_pgd(ctx: CKKSContext, relin_key, rot_keys,
         f"base={len(ctx.base_primes)}")
     B0, B_it = pgd_domains(H, lb, ub, eta, input_bound)
 
+    mats: dict = {"relin": relin_key, "pre": {}, "iters": []}
+    sc_invhw = ctx.pair_scale(k_in)
     if input_kind == "du":
-        pt_invhw = _const_pt(ctx, 1.0 / hw, k_in, ctx.pair_scale(k_in))
+        mats["pre"]["invhw"] = _const_pt(ctx, 1.0 / hw, k_in,
+                                         sc_invhw).data
     k0 = k_in - norm
-    pt_negmid = _const_pt(ctx, -mid / hw, k0, ctx.delta)
-    clip0 = make_encrypted_clip(ctx, relin_key, lb, ub, k0, B0, degree,
-                                denormalize=(iters == 0))
+    mats["pre"]["negmid"] = _const_pt(ctx, -mid / hw, k0, ctx.delta).data
+    pts0, apply0 = _clip_build(ctx, lb, ub, k0, B0, degree,
+                               denormalize=(iters == 0))
+    mats["clip0"] = pts0
     # gradient in w-space: G = eta * diag(1/hw) H diag(hw)
     Gw = eta * (np.asarray(H) * hw[None, :d_cons] / hw[:d_cons, None])
-    steps = []
+    appliers = []
+    levels = []
     k = k0 - C
     for t in range(iters):
-        gemv_g = make_gemv(ctx, Gw, k, rot_keys)
-        clip_t = make_encrypted_clip(ctx, relin_key, lb, ub, k - 2,
-                                     B_it, degree,
+        gm = gemv_materials(ctx, Gw, k, rot_keys)
+        pts_t, apply_t = _clip_build(ctx, lb, ub, k - 2, B_it, degree,
                                      denormalize=(t == iters - 1))
-        steps.append((gemv_g, clip_t, k))
+        mats["iters"].append({"gemv": gm, "clip": pts_t})
+        appliers.append(apply_t)
+        levels.append(k)
         k = k - (2 + C)
 
-    def _solve(du_in: Ciphertext) -> Ciphertext:
+    from hectr_tpu.ckks.scheme import Plaintext
+
+    def apply(du_in: Ciphertext, m) -> Ciphertext:
+        rk = m["relin"]
         if input_kind == "du":
-            w = S.rescale_pair(ctx, S.mul_pt(ctx, du_in, pt_invhw))
+            w = S.rescale_pair(ctx, S.mul_pt(ctx, du_in, Plaintext(
+                data=m["pre"]["invhw"], scale=sc_invhw)))
         else:
             w = du_in
-        w_unc = S.add_pt(ctx, w, pt_negmid)   # centered, normalized, k0
-        z = clip0(w_unc)
-        for gemv_g, clip_t, kc in steps:
-            g = gemv_g(S.sub(ctx, z, mod_down_to(ctx, w_unc, kc)))
+        w_unc = S.add_pt(ctx, w, Plaintext(data=m["pre"]["negmid"],
+                                           scale=ctx.delta))
+        z = apply0(w_unc, m["clip0"], rk)
+        for t in range(iters):
+            kc = levels[t]
+            g = gemv_apply(ctx, m["iters"][t]["gemv"],
+                           S.sub(ctx, z, mod_down_to(ctx, w_unc, kc)))
             y = S.sub(ctx, mod_down_to(ctx, z, kc - 2), g)
-            z = clip_t(y)
+            z = appliers[t](y, m["iters"][t]["clip"], rk)
         return z
 
-    # one compiled graph for the whole fixed iteration (the eager path
-    # pays per-op dispatch x hundreds of modular ops on a deep chain)
-    return jax.jit(_solve), eta
+    return mats, apply, eta
 
 
 def make_pgd_mirror_regulator(model, plant, horizon: int, bounds,

@@ -1,0 +1,337 @@
+"""The CONSTRAINED flagship encrypted MPC on the real chip (VERDICT r4
+next-round #1): FLAGSHIP_QP (logN=15, 32 data limbs, 2 specials,
+width-2 digits) with the deg-7 / 2-iteration encrypted
+projected-gradient QP, run as a split-graph closed loop.
+
+Protocol (the reference's per-step trust-boundary shape,
+src/ctr.c:587-590, with the constrained path the reference only has in
+plaintext, src/mpc.c:411):
+
+  host(cpu): measure -> Kalman update -> target selector
+  chip:      f_enc  (4 encrypts, ONE vmapped dispatch)
+             f_reg  (2 hoisted gemvs with w-scaled gains -> du_unc)
+             f_qp   (encrypted PGD: clip0 + 2x (gemv + deg-7 clip))
+             f_fin  (uhat + du, decrypt + decode)
+  host(cpu): nonlinear CSTR plant (implicit stiff step) -> Kalman
+             time update
+
+All key material and PGD/gemv materials travel through jit ARGUMENTS
+(hempc.qp_enc.make_encrypted_pgd_split) -- closure capture lowers them
+as HLO literals, a multi-GB compile request the tunnel rejects.
+
+Differential twin: the plaintext PGD mirror (same fixed-iteration
+polynomial control law) on the host CPU; bar < 1e-4 per channel, box
+honored over ciphertext, decode-imaginary canary < 1e-5
+(src/ctr.c:493-494 parity).
+
+Run:    python scripts/run_flagship_qp_tpu.py [N_steps]
+Writes: results/flagship_qp_tpu/summary.json (+ trajectories .txt),
+        bench cache entry hempc_qp_step_logn15.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(N: int = 10) -> None:
+    import jax
+
+    if os.environ.get("HECTR_FORCE_CPU") == "1":
+        # the session sitecustomize forces jax_platforms="axon,cpu",
+        # overriding the JAX_PLATFORMS env var -- counter-override for
+        # a true CPU validation run (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from bench import _cache_store, _sink
+    from __graft_entry__ import _cstr_model_plant
+    from hectr_tpu.config import FLAGSHIP_QP
+    from hectr_tpu.ckks import scheme as S
+    from hectr_tpu.ckks.context import make_context
+    from hectr_tpu.ckks.gemv import bsgs_rotations, gemv_apply, gemv_materials
+    from hectr_tpu.ckks.keyswitch import gen_relin_key, gen_rotation_keys
+    from hectr_tpu.ckks.security import security_report
+    from hectr_tpu.control.mpc import MPCBounds, mpc_gains, mpc_hessian
+    from hectr_tpu.control.simulate import simulate
+    from hectr_tpu.control.stages import (
+        actuate, estimate_forward, estimator_gains, measure,
+        measure_forward, select_target, selector_matrix,
+        weighting_matrices)
+    from hectr_tpu.hempc.qp_enc import (
+        make_encrypted_pgd_split, make_pgd_mirror_regulator,
+        pgd_limbs_required)
+
+    t00 = time.time()
+
+    def log(msg):
+        print(f"[qp-tpu {time.time()-t00:7.0f}s] {msg}", flush=True)
+
+    backend = jax.devices()[0].platform
+    log(f"backend: {backend}")
+    if os.environ.get("HECTR_REQUIRE_TPU") == "1" and backend != "tpu":
+        log("TPU required but backend is not tpu -- exiting rc=3")
+        sys.exit(3)
+    cpu = jax.devices("cpu")[0]
+
+    BOUNDS = MPCBounds(dumin=np.array([-0.25, -0.004]),
+                       dumax=np.array([0.25, 0.004]))
+    B0 = 4.0
+    ITERS, DEGREE = 2, 7          # the FLAGSHIP_QP design point
+
+    ctx = make_context(FLAGSHIP_QP)
+    k_top = ctx.max_limbs
+    s = ctx.slots
+    k_in = k_top - 2
+    need = pgd_limbs_required(DEGREE, ITERS, "w_scaled")
+    assert need <= k_in, (need, k_in)
+    sec = security_report(FLAGSHIP_QP)
+
+    model, plant = _cstr_model_plant()
+    dt = 1.0
+    p_seq = np.zeros((N, 1))
+    p_seq[2:, 0] = 0.1 * plant.ps[0]   # +10% inlet flow from k=2
+
+    # ---- plaintext PGD mirror on the host CPU (the differential twin)
+    with jax.default_device(cpu):
+        mirror = make_pgd_mirror_regulator(model, plant, 4, BOUNDS,
+                                           iters=ITERS, degree=DEGREE,
+                                           input_bound=B0)
+        x_m, u_m, cert = simulate(
+            model, plant, p_seq, dt, N, regulator=mirror, horizon=4,
+            regulator_state=jnp.zeros((), jnp.float64), return_state=True)
+    assert float(cert) <= B0, float(cert)
+    log(f"mirror loop done, certificate {float(cert):.3f} <= {B0}")
+
+    # ---- key material + materials on the chip ------------------------
+    keys = S.keygen(ctx, jax.random.PRNGKey(51))
+    jax.block_until_ready(keys.sk)
+    log("keygen done")
+    relin = gen_relin_key(ctx, keys, jax.random.PRNGKey(52))
+    jax.block_until_ready(relin)
+    log("relin key done")
+    # one key per call: the vmapped all-at-once keygen's remote-compile
+    # RESPONSE at FLAGSHIP_QP is ~1.7 GB (6 keys x 285 MB) and the
+    # tunnel closed it mid-read (observed); per-key calls reuse one
+    # compiled executable with a 285 MB response each
+    rot_keys = {}
+    for r in bsgs_rotations(s):
+        rot_keys.update(gen_rotation_keys(
+            ctx, keys, jax.random.fold_in(jax.random.PRNGKey(53), r),
+            rotations=[r]))
+        jax.block_until_ready(rot_keys[r])
+        log(f"rotation key {r} done")
+    log(f"{len(rot_keys)} BSGS rotation keys done")
+
+    ny, nx = np.shape(model.C)
+    nu = np.shape(model.B)[1]
+    Q, R = weighting_matrices(plant.xs, plant.us)
+    K_A, K_B = mpc_gains(ny, nx, nu, 4, model.A, model.B, model.C, Q, R)
+    H = mpc_hessian(ny, nx, nu, 4, model.A, model.B, model.C, Q, R)
+    lb = np.tile(np.asarray(BOUNDS.dumin, dtype=np.float64), 4)
+    ub = np.tile(np.asarray(BOUNDS.dumax, dtype=np.float64), 4)
+    # fold the QP's w-space normalization into the gains (free)
+    gain_scale = 2.0 / (ub - lb)
+    mat_A = gemv_materials(ctx, gain_scale[:, None] * K_A, k_top, rot_keys)
+    mat_B = gemv_materials(ctx, gain_scale[:, None] * K_B, k_top, rot_keys)
+    qp_mats, qp_apply, eta = make_encrypted_pgd_split(
+        ctx, relin, rot_keys, H, lb, ub, k_in=k_in, iters=ITERS,
+        degree=DEGREE, input_bound=B0, input_kind="w_scaled")
+    del rot_keys   # sliced copies live in the materials; free ~1.7 GB
+    jax.block_until_ready((mat_A, mat_B, qp_mats))
+    log(f"gemv + PGD materials done (eta={eta:.4g})")
+
+    # ---- the four chip graphs ---------------------------------------
+    def enc4(xhat, uhat, xr, ur, c, sk, pk):
+        ks = S.KeySet(sk=sk, pk=pk)
+        vs = jnp.zeros((4, s), jnp.float64)
+        vs = vs.at[0, :3].set(xhat).at[1, :2].set(uhat)
+        vs = vs.at[2, :3].set(xr).at[3, :2].set(ur)
+        eks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), c), 4)
+
+        def one(v, ek):
+            return S.encrypt(ctx, ks, S.encode(
+                ctx, (v, jnp.zeros(s, jnp.float64)), k_top), ek).data
+        return jax.vmap(one)(vs, eks)
+
+    def reg(cts, mat_A, mat_B):
+        ct = lambda d: S.Ciphertext(data=d, scale=ctx.delta)  # noqa: E731
+        xdiff = S.sub(ctx, ct(cts[0]), ct(cts[2]))
+        udiff = S.sub(ctx, ct(cts[1]), ct(cts[3]))
+        du = S.neg(ctx, S.add(ctx, gemv_apply(ctx, mat_A, xdiff),
+                              gemv_apply(ctx, mat_B, udiff)))
+        return du.data                                  # w-scaled, k_in
+
+    def qp(du_data, qp_mats):
+        du = S.Ciphertext(data=du_data, scale=ctx.delta)
+        return qp_apply(du, qp_mats).data               # du, k_fin limbs
+
+    k_fin = k_in - need
+
+    def fin(cts, z_data, sk, pk):
+        du = S.Ciphertext(data=z_data, scale=ctx.delta)
+        uhat_low = S.Ciphertext(data=cts[1][:, :k_fin, :], scale=ctx.delta)
+        u_ct = S.add(ctx, uhat_low, du)
+        re, im = S.decode_ri(ctx, S.decrypt(
+            ctx, S.KeySet(sk=sk, pk=pk), u_ct))
+        return re[:nu], jnp.max(jnp.abs(im))
+
+    f_enc = jax.jit(enc4)
+    f_reg = jax.jit(reg)
+    f_qp = jax.jit(qp)
+    f_fin = jax.jit(fin)
+
+    # ---- host-side loop stages (committed to the CPU device) --------
+    Lx, Ld = estimator_gains(model.A, model.B, model.C, model.Bd,
+                             model.Cd, plant.xs)
+    Ginv = selector_matrix(model.A, model.B, model.C, model.Hr)
+    f64 = jnp.float64
+    put = lambda a: jax.device_put(jnp.asarray(a, f64), cpu)  # noqa: E731
+    A, B, C = put(model.A), put(model.B), put(model.C)
+    Bd, Cd, Hr = put(model.Bd), put(model.Cd), put(model.Hr)
+    LxJ, LdJ, GinvJ = put(Lx), put(Ld), put(Ginv)
+    xs, us, ps = put(plant.xs), put(plant.us), put(plant.ps)
+    rsp = put(np.zeros(nu))
+
+    def pre(x, xhatm, dhatm):
+        y = measure(C, x)
+        xhat, dhat = measure_forward(C, Cd, LxJ, LdJ, y, xhatm, dhatm)
+        xr, ur = select_target(Bd, Cd, Hr, GinvJ, dhat, rsp)
+        return xhat, dhat, xr, ur
+
+    def post(x, u, p_k, xhat, dhat):
+        x_next = actuate(plant.ode, plant.jacobian, x, u, p_k,
+                         xs, us, ps, dt)
+        xhatm_n, dhatm_n = estimate_forward(A, B, Bd, xhat, dhat, u)
+        return x_next, xhatm_n, dhatm_n
+
+    f_pre = jax.jit(pre)
+    f_post = jax.jit(post)
+
+    sk, pk = keys.sk, keys.pk
+    x = put(np.zeros(nx))
+    xhatm = put(np.zeros(nx))
+    dhatm = put(np.zeros(model.Bd.shape[1]))
+    u_prev = put(np.zeros(nu))
+    pseq_c = [put(p_seq[i]) for i in range(N)]
+
+    # compile all four chip graphs on step-0 shapes.  Host-stage
+    # outputs are COMMITTED to the cpu device; convert to numpy before
+    # feeding the chip graphs (mixed-committed args error under jit).
+    xhat, dhat, xr, ur = f_pre(x, xhatm, dhatm)
+    xhat_n, xr_n, ur_n = map(np.asarray, (xhat, xr, ur))
+    t0 = time.time()
+    cts = f_enc(xhat_n, ur_n, xr_n, ur_n, jnp.uint32(0), sk, pk)
+    jax.block_until_ready(cts)
+    log(f"enc compile+run done ({time.time()-t0:.0f}s)")
+    t0 = time.time()
+    du_d = f_reg(cts, mat_A, mat_B)
+    jax.block_until_ready(du_d)
+    log(f"reg compile+run done ({time.time()-t0:.0f}s)")
+    t0 = time.time()
+    z_d = f_qp(du_d, qp_mats)
+    jax.block_until_ready(z_d)
+    t_qp_compile = time.time() - t0
+    log(f"qp compile+run done ({t_qp_compile:.0f}s)")
+    t0 = time.time()
+    u0, im0 = f_fin(cts, z_d, sk, pk)
+    jax.block_until_ready((u0, im0))
+    log(f"fin compile+run done ({time.time()-t0:.0f}s); "
+        f"imag residue {float(im0):.2e}")
+
+    # ---- the closed loop, per-step timing ---------------------------
+    xs_traj, us_traj = [], []
+    dts = []
+    canary = 0.0
+    for i in range(N):
+        xhat, dhat, xr, ur = f_pre(x, xhatm, dhatm)
+        uhat = ur if i == 0 else u_prev
+        xhat_n, uhat_n, xr_n, ur_n = map(np.asarray, (xhat, uhat, xr, ur))
+        t0 = time.perf_counter()
+        cts = f_enc(xhat_n, uhat_n, xr_n, ur_n, jnp.uint32(1 + i), sk, pk)
+        u_re, im = f_fin(cts, f_qp(f_reg(cts, mat_A, mat_B), qp_mats),
+                         sk, pk)
+        _sink((u_re, im))
+        dt_i = time.perf_counter() - t0
+        dts.append(dt_i)
+        canary = max(canary, float(im))
+        u = jax.device_put(np.asarray(u_re), cpu)
+        xs_traj.append(np.asarray(x))
+        us_traj.append(np.asarray(u))
+        x, xhatm, dhatm = f_post(x, u, pseq_c[i], xhat, dhat)
+        u_prev = u
+        med = float(np.median(dts))
+        log(f"step {i+1}/{N}: {dt_i*1e3:.0f} ms (median {med*1e3:.0f} ms"
+            f" -> {1.0/med:.2f} steps/s), imag {float(im):.2e}")
+        if backend == "tpu":
+            _cache_store(
+                "hempc_qp_step_logn15", 1.0 / med,
+                extra={"mode": ("constrained encrypted MPC (deg-7 2-iter "
+                                "PGD QP over ciphertext) at FLAGSHIP_QP "
+                                "(logN=15, 32 data limbs): split-graph "
+                                "enc/reg/qp/fin chained per step at the "
+                                "host; 4 dispatches + 1 fetch per step "
+                                "included; median of "
+                                f"{len(dts)} steps")})
+    xs_traj.append(np.asarray(x))
+
+    x_he = np.stack(xs_traj) + np.asarray(plant.xs)
+    u_he = np.stack(us_traj) + np.asarray(plant.us)
+    xdiff = np.max(np.abs(np.asarray(x_m) - x_he), axis=0)
+    udiff = np.max(np.abs(np.asarray(u_m) - u_he), axis=0)
+    du = np.diff(u_he, axis=0)
+    box_ok = bool(np.all(du <= np.asarray(BOUNDS.dumax) + 1e-4)
+                  and np.all(du >= np.asarray(BOUNDS.dumin) - 1e-4))
+    active = float(np.max(np.abs(du[:, 0])) / BOUNDS.dumax[0])
+    med = float(np.median(dts))
+    log(f"max |x_m - x_he| = {xdiff}, max |u_m - u_he| = {udiff}")
+
+    out = {
+        "kind": "flagship_qp_differential_tpu",
+        "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "preset": (f"flagship-qp (logN=15, {k_top} data limbs, 2 "
+                   f"specials, width-2 digits, logQP={sec.log_qp} < "
+                   f"{sec.max_logqp_128} ceiling, ~{sec.est_bits:.0f}-bit)"),
+        "qp": {"iters": ITERS, "degree": DEGREE, "input_bound": B0,
+               "eta": eta,
+               "depth_ledger": {"needed": need, "k_in": k_in},
+               "bounds_dumin": BOUNDS.dumin.tolist(),
+               "bounds_dumax": BOUNDS.dumax.tolist()},
+        "loop": (f"N={N} steps, dt=1 min, horizon 4, +10% inlet "
+                 f"disturbance from k=2; split-graph per-step protocol "
+                 f"(src/ctr.c:587-590 shape; constrained path "
+                 f"plaintext-only in the reference, src/mpc.c:411)"),
+        "backend": backend,
+        "max_abs_dev_vs_mirror": {
+            "c_kmol_m3": float(xdiff[0]), "T_K": float(xdiff[1]),
+            "h_m": float(xdiff[2]), "Tc_K": float(udiff[0]),
+            "F_m3_min": float(udiff[1])},
+        "box_honored": box_ok,
+        "box_activity_frac": active,
+        "input_certificate": float(cert),
+        "noise_canary_max_imag": canary,
+        "qp_graph_compile_s": round(t_qp_compile, 1),
+        "median_step_ms": round(med * 1e3, 1),
+        "steps_per_s": round(1.0 / med, 3),
+    }
+    assert np.all(xdiff < 1e-4) and np.all(udiff < 1e-4), (xdiff, udiff)
+    assert box_ok and canary < 1e-5
+
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results", "flagship_qp_tpu")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    for name, arr in (("x_mirror", x_m), ("u_mirror", u_m),
+                      ("x_encrypted", x_he), ("u_encrypted", u_he)):
+        np.savetxt(os.path.join(d, name + ".txt"), np.asarray(arr))
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

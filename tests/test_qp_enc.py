@@ -236,3 +236,36 @@ def test_constrained_encrypted_regulator_single_step(crypto):
     # the box is honored to CKKS noise -- capped clip, no relaxation
     assert np.all(np.asarray(u) - uhat <= np.asarray(bounds.dumax) + 1e-6)
     assert np.all(np.asarray(u) - uhat >= np.asarray(bounds.dumin) - 1e-6)
+
+
+@pytest.mark.slow
+def test_pgd_split_mats_as_jit_args(crypto):
+    """The split API (make_encrypted_pgd_split) with the materials
+    pytree threaded through jit ARGUMENTS is bit-identical to the
+    closure-capture path -- this is the remote-TPU calling convention
+    (the flagship-QP runner, scripts/run_flagship_qp_tpu.py)."""
+    from hectr_tpu.hempc.qp_enc import make_encrypted_pgd_split
+
+    ctx, keys, relin, rot = crypto
+    H, lb, ub, du_unc = _problem()
+    d = H.shape[0]
+    mid, hw = (lb + ub) / 2, (ub - lb) / 2
+    B0 = float(np.ceil(np.max(np.abs(du_unc - mid) / hw)))
+    k_in = 18   # need = 2 (norm) + 6 (clip0) + 1*(2+6) = 16 <= 18 - 2
+    mats, apply, eta = make_encrypted_pgd_split(
+        ctx, relin, rot, H, lb, ub, k_in=k_in, iters=1, degree=3,
+        input_bound=B0)
+    solve, eta2 = make_encrypted_pgd(ctx, relin, rot, H, lb, ub,
+                                     k_in=18, iters=1, degree=3,
+                                     input_bound=B0)
+    assert eta == eta2
+    z = np.zeros(ctx.slots)
+    z[:d] = du_unc
+    pt = S.encode(ctx, (jnp.asarray(z), jnp.zeros(ctx.slots)), k_in)
+    ct = S.encrypt(ctx, keys, pt, jax.random.PRNGKey(120))
+
+    f = jax.jit(lambda data, m: apply(
+        S.Ciphertext(data=data, scale=ctx.delta), m).data)
+    got = np.asarray(f(ct.data, mats))
+    want = np.asarray(solve(ct).data)
+    assert np.array_equal(got, want)
