@@ -287,7 +287,8 @@ def main(N: int = 10) -> None:
     du = np.diff(u_he, axis=0)
     box_ok = bool(np.all(du <= np.asarray(BOUNDS.dumax) + 1e-4)
                   and np.all(du >= np.asarray(BOUNDS.dumin) - 1e-4))
-    active = float(np.max(np.abs(du[:, 0])) / BOUNDS.dumax[0])
+    active = (float(np.max(np.abs(du[:, 0])) / BOUNDS.dumax[0])
+              if du.size else 0.0)
     med = float(np.median(dts))
     log(f"max |x_m - x_he| = {xdiff}, max |u_m - u_he| = {udiff}")
 
