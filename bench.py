@@ -534,6 +534,31 @@ def bench_hempc_step_deep() -> float:
     return _bench_regulator_steps(REFERENCE_HEMPC, iters=3, inner=32)
 
 
+def _hempc_batch_setup():
+    """Shared crypto/material setup for the batch sections (built once
+    per process; the curve section reuses it across batch sizes)."""
+    import jax
+
+    from __graft_entry__ import _cstr_model_plant
+    from hectr_tpu.config import REFERENCE_HEMPC
+    from hectr_tpu.ckks import scheme as S
+    from hectr_tpu.ckks.context import make_context
+    from hectr_tpu.ckks.keyswitch import gen_rotation_keys
+    from hectr_tpu.hempc.regulator import make_hempc_gemv_materials
+
+    if "st" not in _BATCH_SETUP:
+        ctx = make_context(REFERENCE_HEMPC)
+        keys = S.keygen(ctx, jax.random.PRNGKey(0))
+        rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
+        model, plant = _cstr_model_plant()
+        mats = make_hempc_gemv_materials(ctx, rot_keys, model, plant, 4)
+        _BATCH_SETUP["st"] = (ctx, keys, model, plant, mats)
+    return _BATCH_SETUP["st"]
+
+
+_BATCH_SETUP: dict = {}
+
+
 def bench_hempc_batch(batch: int = 16, iters: int = 4, inner: int = 4
                       ) -> float:
     """AGGREGATE encrypted-MPC steps/sec for a vmapped batch of
@@ -545,20 +570,10 @@ def bench_hempc_batch(batch: int = 16, iters: int = 4, inner: int = 4
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _cstr_model_plant
-    from hectr_tpu.config import REFERENCE_HEMPC
     from hectr_tpu.ckks import scheme as S
-    from hectr_tpu.ckks.context import make_context
-    from hectr_tpu.ckks.keyswitch import gen_rotation_keys
     from hectr_tpu.hempc import hempc_init_state, make_hempc_regulator
 
-    from hectr_tpu.hempc.regulator import make_hempc_gemv_materials
-
-    ctx = make_context(REFERENCE_HEMPC)
-    keys = S.keygen(ctx, jax.random.PRNGKey(0))
-    rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1))
-    model, plant = _cstr_model_plant()
-    mats = make_hempc_gemv_materials(ctx, rot_keys, model, plant, 4)
+    ctx, keys, model, plant, mats = _hempc_batch_setup()
     xr, ur = jnp.zeros(3), jnp.zeros(2)
 
     def loop(u0, xs_seq, key, mats, sk, pk):

@@ -98,15 +98,26 @@ def main(N: int = 10) -> None:
     p_seq[2:, 0] = 0.1 * plant.ps[0]   # +10% inlet flow from k=2
 
     # ---- plaintext PGD mirror on the host CPU (the differential twin)
-    with jax.default_device(cpu):
-        mirror = make_pgd_mirror_regulator(model, plant, 4, BOUNDS,
-                                           iters=ITERS, degree=DEGREE,
-                                           input_bound=B0)
-        x_m, u_m, cert = simulate(
-            model, plant, p_seq, dt, N, regulator=mirror, horizon=4,
-            regulator_state=jnp.zeros((), jnp.float64), return_state=True)
-    assert float(cert) <= B0, float(cert)
-    log(f"mirror loop done, certificate {float(cert):.3f} <= {B0}")
+    # The input certificate max|du_unc - mid|/hw over the trajectory IS
+    # the offline design envelope the clip polynomials are fit on; at
+    # N=10 the post-disturbance excursion exceeds the N=6 run's 4.0, so
+    # size B0 from the mirror itself (design-time iteration: widen the
+    # envelope until the trajectory certifies under it).
+    for _ in range(3):
+        with jax.default_device(cpu):
+            mirror = make_pgd_mirror_regulator(model, plant, 4, BOUNDS,
+                                               iters=ITERS, degree=DEGREE,
+                                               input_bound=B0)
+            x_m, u_m, cert = simulate(
+                model, plant, p_seq, dt, N, regulator=mirror, horizon=4,
+                regulator_state=jnp.zeros((), jnp.float64),
+                return_state=True)
+        if float(cert) <= B0:
+            break
+        log(f"certificate {float(cert):.3f} > envelope {B0}; widening")
+        B0 = float(np.ceil(float(cert)) + 1.0)
+    assert float(cert) <= B0, (float(cert), B0)
+    log(f"mirror loop done, certificate {float(cert):.3f} <= B0={B0}")
 
     # ---- key material + materials on the chip ------------------------
     keys = S.keygen(ctx, jax.random.PRNGKey(51))

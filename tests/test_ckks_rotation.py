@@ -72,6 +72,7 @@ def test_rotation(ctx, keys, rot_keys, r):
     assert np.max(np.abs(got.imag)) < 1e-5
 
 
+@pytest.mark.slow
 def test_gemv_random_matrix(ctx, keys, rot_keys):
     rng = np.random.default_rng(42)
     M = rng.normal(size=(16, 16))

@@ -45,7 +45,10 @@ def keys(ctx):
     return S.keygen(ctx, jax.random.PRNGKey(0))
 
 
-@pytest.mark.parametrize("s", [128, 1024])
+@pytest.mark.parametrize("s", [
+    128,
+    pytest.param(1024, marks=pytest.mark.slow),   # fast-gate budget
+])
 def test_fft_embedding_matches_matrix_path(s):
     """Differential: the FFT path must agree with the long-validated
     subring-matrix embedding (which the acceptance tests exercise at

@@ -72,9 +72,13 @@ def test_fused_closed_loop_differential():
     assert float(canary) < 1e-5, float(canary)
 
 
+@pytest.mark.slow
 def test_fused_single_step_matches_linear_law():
     """One fused encrypted step == the plaintext linear law, to CKKS
-    noise (fast: no closed loop, one enc/gemv/dec round)."""
+    noise (one enc/gemv/dec round; slow: ~2 min of keygen + eager
+    crypto on a small host -- the fast gate keeps the pure-algebra and
+    enc_pack layout tests, the slow gate adds this and the closed
+    loop)."""
     ctx = make_context(REFERENCE_HEMPC)
     keys = S.keygen(ctx, jax.random.PRNGKey(3))
     rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(4),
