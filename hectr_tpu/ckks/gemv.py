@@ -61,17 +61,58 @@ from hectr_tpu.ckks.keyswitch import (
     slice_key,
 )
 from hectr_tpu.ckks.modmath import add_mod, mul_mod, sum_mod
-from hectr_tpu.ckks.scheme import Ciphertext, encode, mul_pt, rescale_pair
+from hectr_tpu.ckks.scheme import Ciphertext, mul_pt, rescale_pair
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_batch_full(ctx: CKKSContext, vri: jnp.ndarray, scale_f):
+    """Encode a batch of slot vectors ([R, 2, s] real pairs) over the
+    FULL chain with a TRACED f64 scale: [R, K_max, N].  ONE executable
+    serves every (level, scale) -- callers slice the first k limb rows
+    (the per-limb NTT makes the slice bit-identical to encoding at k).
+
+    WHY one executable: the per-(k, scale) static variants minted a
+    fresh remote compile per level, each carrying the multi-MB twiddle
+    tables as HLO literals -- and at the 30+ limb FLAGSHIP_QP scale
+    one of those compiles HUNG the remote-TPU compile service on three
+    independent runs (stack: backend_compile_and_load, never returns).
+    The numeric contract is unchanged: encode already multiplied by
+    float(scale); here the same f64 value arrives as an argument."""
+    from hectr_tpu.ckks.encoding import embed_ri, integer_residues
+    from hectr_tpu.ckks.ntt import ntt
+
+    s = ctx.slots
+    k = ctx.max_limbs
+    stride = ctx.n // (2 * s)
+
+    def one(vr, vi):
+        m = embed_ri(vr, vi, s)
+        y = jnp.round(m * scale_f)
+        res = integer_residues(y, ctx.primes_col(k))
+        coeffs = jnp.zeros((k, ctx.n), dtype=jnp.uint32)
+        coeffs = coeffs.at[:, ::stride].set(res)
+        return ntt(coeffs, ctx.tables(k))
+    return jax.vmap(one)(vri[:, 0], vri[:, 1])
+
+
 def _encode_batch(ctx: CKKSContext, vri: jnp.ndarray, k: int, scale):
     """Encode a batch of slot vectors ([R, 2, s] real pairs) into
     plaintext residue arrays [R, k, N] in ONE compiled graph (the eager
-    per-diagonal path dominated gemv closure-build time)."""
-    return jax.vmap(
-        lambda vr, vi: encode(ctx, (vr, vi), k, scale=scale).data
-    )(vri[:, 0], vri[:, 1])
+    per-diagonal path dominated gemv closure-build time).  Implemented
+    by slicing the shared full-chain executable (see
+    _encode_batch_full); the batch axis is padded to a bucket of at
+    least 16 rows so ONE executable serves constants and every typical
+    matrix shape -- observed on the remote-TPU compile service: the
+    first big-twiddle-literal compile of a session succeeds, a SECOND
+    one can hang it, so the fewer distinct encode executables the
+    better."""
+    R = vri.shape[0]
+    Rp = max(16, 1 << max(0, int(R - 1).bit_length()))
+    if Rp != R:
+        vri = jnp.concatenate(
+            [vri, jnp.zeros((Rp - R,) + vri.shape[1:], vri.dtype)])
+    full = _encode_batch_full(ctx, vri, jnp.float64(float(scale)))
+    return full[:R, :k, :]
 
 
 def diagonals(M: np.ndarray, slots: int) -> np.ndarray:

@@ -391,7 +391,7 @@ def make_encrypted_pgd_split(ctx: CKKSContext, relin_key, rot_keys,
                              eta: float | None = None, degree: int = 7,
                              input_bound=3.0,
                              max_iter_domain: float = 3.0,
-                             input_kind: str = "du"):
+                             input_kind: str = "du", log=None):
     """Split form of make_encrypted_pgd: returns (mats, apply, eta).
 
     `mats` is a pytree of DEVICE ARRAYS -- the relinearisation key, the
@@ -404,8 +404,22 @@ def make_encrypted_pgd_split(ctx: CKKSContext, relin_key, rot_keys,
     request the remote-TPU tunnel rejects (the same lesson as the
     unconstrained flagship's gemv materials, VERDICT r4 #1).  All exact
     Fraction scales and level bookkeeping stay static in the closure.
+
+    `log` (optional callable): per-stage progress messages; when given,
+    each material stage is also block_until_ready-synced -- the
+    remote-TPU tunnel has wedged on host fetches issued after a large
+    burst of unsynced eager allocations (observed twice at this scale),
+    and stage-wise syncing keeps the async queue short.
     """
+    import jax as _jax
+
     from hectr_tpu.ckks.gemv import gemv_apply, gemv_materials
+
+    def _stage(name, val):
+        if log is not None:
+            _jax.block_until_ready(val)
+            log(f"pgd materials: {name}")
+        return val
 
     if eta is None:
         eta = pgd_eta(H, lb, ub, input_bound, max_iter_domain)
@@ -431,19 +445,22 @@ def make_encrypted_pgd_split(ctx: CKKSContext, relin_key, rot_keys,
                                          sc_invhw).data
     k0 = k_in - norm
     mats["pre"]["negmid"] = _const_pt(ctx, -mid / hw, k0, ctx.delta).data
+    _stage("pre", mats["pre"])
     pts0, apply0 = _clip_build(ctx, lb, ub, k0, B0, degree,
                                denormalize=(iters == 0))
-    mats["clip0"] = pts0
+    mats["clip0"] = _stage("clip0", pts0)
     # gradient in w-space: G = eta * diag(1/hw) H diag(hw)
     Gw = eta * (np.asarray(H) * hw[None, :d_cons] / hw[:d_cons, None])
     appliers = []
     levels = []
     k = k0 - C
     for t in range(iters):
-        gm = gemv_materials(ctx, Gw, k, rot_keys)
+        gm = _stage(f"iter {t} gemv (k={k})",
+                    gemv_materials(ctx, Gw, k, rot_keys))
         pts_t, apply_t = _clip_build(ctx, lb, ub, k - 2, B_it, degree,
                                      denormalize=(t == iters - 1))
-        mats["iters"].append({"gemv": gm, "clip": pts_t})
+        mats["iters"].append({"gemv": gm, "clip": _stage(f"iter {t} clip",
+                                                        pts_t)})
         appliers.append(apply_t)
         levels.append(k)
         k = k - (2 + C)

@@ -72,6 +72,12 @@ def main(N: int = 10) -> None:
     def log(msg):
         print(f"[qp-tpu {time.time()-t00:7.0f}s] {msg}", flush=True)
 
+    # stall forensics: the tunnel has wedged mid-materials on previous
+    # attempts; dump every thread's stack if nothing completes for 8
+    # minutes so the hanging request is identifiable from the log
+    import faulthandler
+    faulthandler.dump_traceback_later(480, repeat=True, file=sys.stderr)
+
     backend = jax.devices()[0].platform
     log(f"backend: {backend}")
     if os.environ.get("HECTR_REQUIRE_TPU") == "1" and backend != "tpu":
@@ -120,24 +126,40 @@ def main(N: int = 10) -> None:
     log(f"mirror loop done, certificate {float(cert):.3f} <= B0={B0}")
 
     # ---- key material + materials on the chip ------------------------
+    # pre-warm the ONE shared encode executable while the device
+    # session is fresh (before gigabytes of key material exist): every
+    # gemv-materials and clip-constant encode reuses it, so no further
+    # big-twiddle-literal compile is needed during materials building
+    from hectr_tpu.ckks.gemv import _encode_batch
+
+    jax.block_until_ready(_encode_batch(
+        ctx, jnp.zeros((1, 2, s)), k_top, ctx.delta))
+    log("shared encode executable warmed")
     keys = S.keygen(ctx, jax.random.PRNGKey(51))
     jax.block_until_ready(keys.sk)
     log("keygen done")
-    relin = gen_relin_key(ctx, keys, jax.random.PRNGKey(52))
+    # COMPACT switching keys (no stored Shoup companions): at the
+    # FLAGSHIP_QP scale the full-layout key stack is ~285 MB/key and
+    # sustained multi-GB allocation bursts have wedged the tunnel's
+    # fetch path twice at this exact phase; compact halves every key
+    # buffer (~5% slower key-switch inner product, measured by
+    # scripts/bench_compact_key.py) -- the deployment-scale trade this
+    # option exists for
+    relin = gen_relin_key(ctx, keys, jax.random.PRNGKey(52), compact=True)
     jax.block_until_ready(relin)
-    log("relin key done")
+    log("relin key done (compact)")
     # one key per call: the vmapped all-at-once keygen's remote-compile
-    # RESPONSE at FLAGSHIP_QP is ~1.7 GB (6 keys x 285 MB) and the
-    # tunnel closed it mid-read (observed); per-key calls reuse one
-    # compiled executable with a 285 MB response each
+    # RESPONSE at FLAGSHIP_QP exceeded what the tunnel would return
+    # (closed mid-read, observed); per-key calls reuse one compiled
+    # executable with a bounded response each
     rot_keys = {}
     for r in bsgs_rotations(s):
         rot_keys.update(gen_rotation_keys(
             ctx, keys, jax.random.fold_in(jax.random.PRNGKey(53), r),
-            rotations=[r]))
+            rotations=[r], compact=True))
         jax.block_until_ready(rot_keys[r])
         log(f"rotation key {r} done")
-    log(f"{len(rot_keys)} BSGS rotation keys done")
+    log(f"{len(rot_keys)} BSGS rotation keys done (compact)")
 
     ny, nx = np.shape(model.C)
     nu = np.shape(model.B)[1]
@@ -149,13 +171,17 @@ def main(N: int = 10) -> None:
     # fold the QP's w-space normalization into the gains (free)
     gain_scale = 2.0 / (ub - lb)
     mat_A = gemv_materials(ctx, gain_scale[:, None] * K_A, k_top, rot_keys)
+    jax.block_until_ready(mat_A)
+    log("gemv materials A done")
     mat_B = gemv_materials(ctx, gain_scale[:, None] * K_B, k_top, rot_keys)
+    jax.block_until_ready(mat_B)
+    log("gemv materials B done")
     qp_mats, qp_apply, eta = make_encrypted_pgd_split(
         ctx, relin, rot_keys, H, lb, ub, k_in=k_in, iters=ITERS,
-        degree=DEGREE, input_bound=B0, input_kind="w_scaled")
+        degree=DEGREE, input_bound=B0, input_kind="w_scaled", log=log)
     del rot_keys   # sliced copies live in the materials; free ~1.7 GB
-    jax.block_until_ready((mat_A, mat_B, qp_mats))
-    log(f"gemv + PGD materials done (eta={eta:.4g})")
+    jax.block_until_ready(qp_mats)
+    log(f"PGD materials done (eta={eta:.4g})")
 
     # ---- the four chip graphs ---------------------------------------
     def enc4(xhat, uhat, xr, ur, c, sk, pk):
