@@ -366,7 +366,7 @@ def bench_hempc_batch_curve() -> float:
     return curve["16"]["aggregate_steps_s"]
 
 
-def bench_gemv_dense_bsgs(slots: int = 2048) -> float:
+def bench_gemv_dense_bsgs(slots: int = 2048, compact: bool = False) -> float:
     """Dense baby-step/giant-step he_gemv on the chip (VERDICT r4
     missing #4): a fully dense slots x slots matrix at logN=14, L=5 --
     the general-matrix regime of GPQHE's he_gemv contract
@@ -388,8 +388,15 @@ def bench_gemv_dense_bsgs(slots: int = 2048) -> float:
     ctx = make_context(preset)
     k = ctx.max_limbs
     keys = S.keygen(ctx, jax.random.PRNGKey(0))
-    rot_keys = gen_rotation_keys(ctx, keys, jax.random.PRNGKey(1),
-                                 rotations=bsgs_rotations(slots))
+    # keygen in chunks of 16 rotations: one all-at-once call for the
+    # ~181-key slots=8192 set is a multi-GB tunnel response
+    rot_keys = {}
+    want = bsgs_rotations(slots)
+    for off in range(0, len(want), 16):
+        rot_keys.update(gen_rotation_keys(
+            ctx, keys, jax.random.fold_in(jax.random.PRNGKey(1), off),
+            rotations=want[off:off + 16], compact=compact))
+        jax.block_until_ready(rot_keys[want[off]])
     n_keys = len(rot_keys)
     rng = np.random.default_rng(5)
     M = rng.standard_normal((slots, slots)) / slots

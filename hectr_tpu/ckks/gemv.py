@@ -107,11 +107,19 @@ def _encode_batch(ctx: CKKSContext, vri: jnp.ndarray, k: int, scale):
     one can hang it, so the fewer distinct encode executables the
     better."""
     R = vri.shape[0]
+    sf = jnp.float64(float(scale))
+    if R > 2048:
+        # chunk huge grids (dense BSGS at slots=8192 encodes 8281
+        # diagonals): bounded peak memory, one executable (R=2048)
+        outs = []
+        for off in range(0, R, 2048):
+            outs.append(_encode_batch(ctx, vri[off:off + 2048], k, scale))
+        return jnp.concatenate(outs, axis=0)
     Rp = max(16, 1 << max(0, int(R - 1).bit_length()))
     if Rp != R:
         vri = jnp.concatenate(
             [vri, jnp.zeros((Rp - R,) + vri.shape[1:], vri.dtype)])
-    full = _encode_batch_full(ctx, vri, jnp.float64(float(scale)))
+    full = _encode_batch_full(ctx, vri, sf)
     return full[:R, :k, :]
 
 

@@ -128,11 +128,12 @@ def _gen_switching_key(ctx: CKKSContext, sk_full: jnp.ndarray,
     domain over the full data chain + special primes; axis-1 rows
     0:2 = (b, a), 2:4 = their Shoup companions) -- or [dnum, 2, K+S, N]
     when `compact=True` (no stored companions: HALF the key memory, the
-    inner product falls back to u64-Barrett products, ~5% slower
-    end-to-end on the measured ct-ct path; pick per context via the
-    `compact` kwarg of gen_relin_key / gen_rotation_keys.  The flagship
-    15-key diagonal stack at ~2 GB was exactly this trade -- VERDICT r3
-    weak #6).
+    inner product falls back to u64-Barrett products; MEASURED on chip
+    (scripts/bench_compact_key.py, B=64 chained ct-ct at logN=14):
+    580.3 vs 584.1 mult/s = +0.7% slower for 19 vs 39 MB/key -- the
+    u64-Barrett cost hides under the NTT round-trips.  Pick per context
+    via the `compact` kwarg of gen_relin_key / gen_rotation_keys; the
+    flagship-QP on-chip run uses compact keys throughout).
 
     sk_full, s_prime: [K+S(+...), N] NTT-domain secrets over the full
     chain.  Vectorized over digits (no per-digit Python loop) and
