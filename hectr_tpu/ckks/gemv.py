@@ -366,17 +366,23 @@ def _materials_bsgs(ctx: CKKSContext, diags: np.ndarray,
     groups = sorted({r // n1 for r in active})
 
     # diag'_{g,b} = rot_{-g n1}(diag_{g n1 + b}); np.roll by +g*n1 is
-    # exactly rot_{-g n1} (rot_r(x)[i] = x[(i+r) mod s])
-    vri = np.zeros((len(groups), n1, 2, s))
-    for gi, g in enumerate(groups):
-        for b in range(n1):
-            r = g * n1 + b
-            if r < s and r in active_set:
-                d = np.roll(diags[r], g * n1)
-                vri[gi, b, 0] = d.real
-                vri[gi, b, 1] = d.imag
-    pt_grid = _encode_batch(ctx, jnp.asarray(vri.reshape(-1, 2, s)),
-                            k, pair).reshape(len(groups), n1, k, ctx.n)
+    # exactly rot_{-g n1} (rot_r(x)[i] = x[(i+r) mod s]).  Group 0 and
+    # the giant groups are encoded SEPARATELY: a post-hoc gather of the
+    # giant rows out of one full grid doubles peak device memory (the
+    # slots=8192 dense grid is ~6.4 GB -- the gather copy OOMed a
+    # 16 GB chip).
+    def _encode_groups(group_list):
+        vri = np.zeros((len(group_list), n1, 2, s))
+        for gi, g in enumerate(group_list):
+            for b in range(n1):
+                r = g * n1 + b
+                if r < s and r in active_set:
+                    d = np.roll(diags[r], g * n1)
+                    vri[gi, b, 0] = d.real
+                    vri[gi, b, 1] = d.imag
+        return _encode_batch(
+            ctx, jnp.asarray(vri.reshape(-1, 2, s)), k, pair
+        ).reshape(len(group_list), n1, k, ctx.n)
 
     mat: dict = {"bsgs": {
         "baby_perms": jnp.asarray(np.stack([
@@ -394,10 +400,10 @@ def _materials_bsgs(ctx: CKKSContext, diags: np.ndarray,
                 for g in giants])),
             "ksk": jnp.stack([slice_key(ctx, rot_keys[g * n1], k)
                               for g in giants]),
-            "pt": pt_grid[np.asarray([groups.index(g) for g in giants])],
+            "pt": _encode_groups(giants),
         }
     if 0 in groups:
-        b["pt0"] = pt_grid[groups.index(0)]
+        b["pt0"] = _encode_groups([0])[0]
     return mat
 
 
