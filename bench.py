@@ -1161,7 +1161,10 @@ def main():
     cache = _cache_load()
     cached_out = {}
     extra_surface = ["hempc_qp_step_logn15", "hempc_step_logn15_L20_fused",
-                     "vpu_ceiling_u32", "compact_key_tradeoff"]
+                     "hempc_step_logn15_L20_fused_mono",
+                     "hempc_fused_batch_logn15", "hempc_batch_phases",
+                     "gemv_dense_bsgs_8192", "vpu_ceiling_u32",
+                     "compact_key_tradeoff"]
     for name in [n for n, _fn in sections] + extra_surface:
         if name not in results and name in cache:
             ent = cache[name]
