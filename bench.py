@@ -101,6 +101,10 @@ def _cache_store(name: str, value: float, extra: dict | None = None) -> None:
             keep["last_run_value"] = round(value, 2)
             keep["runs"] = ent["runs"]
             ent = keep
+    # when was this section last MEASURED (vs `ts`, the best value's
+    # date) -- the scheduler rotates on this so a section whose best is
+    # old but which ran live this round still yields its slot
+    ent["last_ts"] = time.time()
     cache[name] = ent
     os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
     with open(_CACHE_PATH, "w") as f:
@@ -1060,16 +1064,16 @@ def main():
             ent = _pc.get(name)
             if not ent or ent.get("backend") != _backend_name():
                 return 0.0            # never measured here: stalest
-            return ent.get("ts", 0.0)
+            return ent.get("last_ts", ent.get("ts", 0.0))
         head = [s for s in sections if s[0] == "ntt_logn15"]
         tail = sorted([s for s in sections if s[0] != "ntt_logn15"],
                       key=lambda s: _staleness(s[0]))
         # the flagship is THE headline capability: run it live right
-        # after the primary whenever its record is > 3 h old (i.e. in
-        # every driver round), regardless of how the rest rotates --
+        # after the primary whenever its record is > 90 min old (i.e.
+        # in every driver round), regardless of how the rest rotates --
         # rehearsal freshness must not push it behind cheap sections
         flag = "hempc_step_logn15_L20"
-        if time.time() - _staleness(flag) > 3 * 3600.0:
+        if time.time() - _staleness(flag) > 5400.0:
             tail = ([s for s in tail if s[0] == flag]
                     + [s for s in tail if s[0] != flag])
         sections = head + tail
