@@ -281,6 +281,10 @@ def main(N: int = 10) -> None:
     log(f"fin compile+run done ({time.time()-t0:.0f}s); "
         f"imag residue {float(im0):.2e}")
 
+    # compiles are done -- stop the stall forensics (per-step fetches
+    # have their own visibility via the step log)
+    faulthandler.cancel_dump_traceback_later()
+
     # ---- the closed loop, per-step timing ---------------------------
     xs_traj, us_traj = [], []
     dts = []
